@@ -1,0 +1,294 @@
+"""Similarity kernels: indel ratio (rapidfuzz.fuzz.ratio parity),
+Jaro-Winkler, token Jaccard, 64-bit SimHash.
+
+The reference's only similarity function is ``rapidfuzz.fuzz.ratio``
+(reference ``backend/analysis/compare.py:370``), a normalized InDel
+similarity: ``100 * (1 - indel_distance / (len_a + len_b))`` where
+``indel_distance = len_a + len_b - 2 * LCS(a, b)``.  rapidfuzz is not in
+this environment, so :func:`indel_ratio_py` re-implements it exactly via
+Hyyrö's bit-parallel LCS (O(len_b * ceil(len_a/64)) word ops — Python
+arbitrary-precision ints give the bit-parallelism for free).
+
+All kernels are exposed to Spark exclusively through Arrow-batched
+``pandas_udf`` wrappers (the engine's single sanctioned Python extension
+point; SURVEY.md §2.10).  Pure-Python versions double as the test oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+__all__ = [
+    "indel_ratio_py",
+    "jaro_winkler_py",
+    "token_jaccard_py",
+    "simhash64_py",
+    "hamming64_py",
+    "indel_ratio_udf",
+    "jaro_winkler_udf",
+    "simhash64_udf",
+    "pair_features_udf",
+    "PAIR_FEATURES_TYPE",
+]
+
+
+# ---------------------------------------------------------------------------
+# Indel ratio (rapidfuzz.fuzz.ratio parity)
+# ---------------------------------------------------------------------------
+
+def _lcs_length(a: str, b: str) -> int:
+    """Length of the longest common subsequence, bit-parallel (Hyyrö 2004)."""
+    la = len(a)
+    if la == 0 or len(b) == 0:
+        return 0
+    if la > len(b):  # iterate over the longer string, mask the shorter
+        a, b = b, a
+        la = len(a)
+    masks: dict[str, int] = {}
+    for i, ch in enumerate(a):
+        masks[ch] = masks.get(ch, 0) | (1 << i)
+    width = (1 << la) - 1
+    s = width
+    for ch in b:
+        m = masks.get(ch)
+        if m is None:
+            continue
+        u = s & m
+        s = (s + u) | (s - u)
+    # LCS = number of zero bits of s inside the la-bit window
+    return la - bin(s & width).count("1")
+
+
+def indel_ratio_py(a: str | None, b: str | None) -> float | None:
+    """Exact rapidfuzz.fuzz.ratio semantics on two strings (0..100).
+
+    Both-empty => 100.0 (rapidfuzz convention).  None propagates as None
+    (null handling is done by the caller per reference compare.py:360-367).
+    """
+    if a is None or b is None:
+        return None
+    total = len(a) + len(b)
+    if total == 0:
+        return 100.0
+    lcs = _lcs_length(a, b)
+    dist = total - 2 * lcs
+    return 100.0 * (1.0 - dist / total)
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler
+# ---------------------------------------------------------------------------
+
+def _jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    match_window = max(la, lb) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    a_flags = [False] * la
+    b_flags = [False] * lb
+    matches = 0
+    for i, ch in enumerate(a):
+        lo = max(0, i - match_window)
+        hi = min(lb, i + match_window + 1)
+        for j in range(lo, hi):
+            if not b_flags[j] and b[j] == ch:
+                a_flags[i] = b_flags[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    # transpositions
+    transpositions = 0
+    j = 0
+    for i in range(la):
+        if a_flags[i]:
+            while not b_flags[j]:
+                j += 1
+            if a[i] != b[j]:
+                transpositions += 1
+            j += 1
+    t = transpositions / 2
+    m = matches
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler_py(
+    a: str | None, b: str | None, prefix_weight: float = 0.1, max_prefix: int = 4
+) -> float | None:
+    """Jaro-Winkler similarity in [0, 1] (standard 0.1 prefix scaling)."""
+    if a is None or b is None:
+        return None
+    jaro = _jaro(a, b)
+    if jaro <= 0.7:  # standard boost threshold
+        return jaro
+    prefix = 0
+    for ca, cb in zip(a[:max_prefix], b[:max_prefix]):
+        if ca != cb:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_weight * (1.0 - jaro)
+
+
+# ---------------------------------------------------------------------------
+# Token Jaccard + SimHash
+# ---------------------------------------------------------------------------
+
+def _tokens(s: str) -> list[str]:
+    return s.split()
+
+
+def token_jaccard_py(a: str | None, b: str | None) -> float | None:
+    """Jaccard similarity of whitespace-token *sets*.  Both-empty => 1.0."""
+    if a is None or b is None:
+        return None
+    sa, sb = set(_tokens(a)), set(_tokens(b))
+    if not sa and not sb:
+        return 1.0
+    union = len(sa | sb)
+    return len(sa & sb) / union if union else 1.0
+
+
+def _stable_hash64(token: str) -> int:
+    """Deterministic 64-bit token hash (blake2b; stable across processes,
+    unlike Python's salted ``hash``)."""
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+def simhash64_py(s: str | None) -> int | None:
+    """64-bit SimHash over whitespace tokens.  Returned as a *signed* int64
+    (two's complement) so it round-trips through Spark LongType."""
+    if s is None:
+        return None
+    toks = _tokens(s)
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    one = np.uint64(1)
+    for tok in toks:
+        h = _stable_hash64(tok)
+        bits = np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
+        ).astype(np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):  # acc[0] is the MSB
+        if v > 0:
+            out |= 1 << (63 - i)
+    # to signed int64
+    if out >= 1 << 63:
+        out -= 1 << 64
+    return out
+
+
+def hamming64_py(x: int | None, y: int | None) -> int | None:
+    if x is None or y is None:
+        return None
+    return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched pandas UDFs (the Spark-facing surface)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(T.DoubleType())
+def indel_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched rapidfuzz.fuzz.ratio parity.  Null in either side => null
+    (null *semantics* — match/mismatch/ignore — are applied by the caller
+    as native expressions so they stay in codegen)."""
+    return pd.Series(
+        [indel_ratio_py(x, y) for x, y in zip(a, b)], index=a.index, dtype="float64"
+    )
+
+
+@pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [jaro_winkler_py(x, y) for x, y in zip(a, b)], index=a.index, dtype="float64"
+    )
+
+
+@pandas_udf(T.LongType())
+def simhash64_udf(s: pd.Series) -> pd.Series:
+    return pd.Series([simhash64_py(x) for x in s], index=s.index, dtype="object").astype(
+        "Int64"
+    )
+
+
+PAIR_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("url_jw", T.DoubleType(), True),
+        T.StructField("text_ratio", T.DoubleType(), True),
+        T.StructField("token_jaccard", T.DoubleType(), True),
+        T.StructField("simhash_hamming", T.IntegerType(), True),
+    ]
+)
+
+
+@pandas_udf(PAIR_FEATURES_TYPE)
+def pair_features_udf(
+    url_a: pd.Series, url_b: pd.Series, text_a: pd.Series, text_b: pd.Series
+) -> pd.DataFrame:
+    """One Arrow batch -> all four pair features.
+
+    A single struct-returning UDF transfers each candidate pair over Arrow
+    once instead of four times — the scoring stage is map-only (no
+    shuffle), so this is the entire Python cost of the pipeline.
+    """
+    n = len(url_a)
+    jw = np.empty(n, dtype=object)
+    ratio = np.empty(n, dtype=object)
+    jac = np.empty(n, dtype=object)
+    ham = np.empty(n, dtype=object)
+    for i in range(n):
+        ua, ub, ta, tb = url_a.iat[i], url_b.iat[i], text_a.iat[i], text_b.iat[i]
+        jw[i] = jaro_winkler_py(ua, ub)
+        ratio[i] = indel_ratio_py(ta, tb)
+        jac[i] = token_jaccard_py(ta, tb)
+        ham[i] = hamming64_py(simhash64_py(ta), simhash64_py(tb))
+    return pd.DataFrame(
+        {
+            "url_jw": pd.array(jw, dtype="float64"),
+            "text_ratio": pd.array(ratio, dtype="float64"),
+            "token_jaccard": pd.array(jac, dtype="float64"),
+            "simhash_hamming": pd.array(ham, dtype="Int32"),
+        },
+        index=url_a.index,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native (JVM-side) similarity expressions — used where exact rapidfuzz
+# parity is not required, so the plan stays in whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+def levenshtein_similarity(a, b):
+    """100 * (1 - levenshtein / max_len) as a native Column (codegen'd).
+    Not rapidfuzz-ratio parity (substitutions cost 1, not 2) — used for
+    oracle-checked fuzzy queries where DuckDB must agree."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    max_len = F.greatest(F.length(a), F.length(b))
+    return F.when(max_len == 0, F.lit(100.0)).otherwise(
+        100.0 * (1.0 - F.levenshtein(a, b) / max_len)
+    )
+
+
+def native_token_jaccard(a, b):
+    """Whitespace-token-set Jaccard as native array expressions."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    ta = F.array_distinct(F.split(F.trim(a), r"\s+"))
+    tb = F.array_distinct(F.split(F.trim(b), r"\s+"))
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(F.array_union(ta, tb))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)

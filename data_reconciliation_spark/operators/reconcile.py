@@ -1,0 +1,251 @@
+"""Snapshot reconciliation — the engine's parity core.
+
+Reproduces the reference ``run_compare`` semantics
+(``backend/analysis/compare.py:178-324``) as one declarative DataFrame
+plan instead of a pandas merge plus per-row Python loops:
+
+* full-outer equi-join on the PK with presence flags (J1, compare.py:205-211)
+* anti-join branches for deleted/added records (J2/J3, compare.py:216-217)
+* per-field mismatch predicates built at plan time (F1-F5,
+  compare.py:326-403) — exact / fuzzy(indel-ratio) / decimal-tolerance,
+  with the exact null rules (both-null match; null-vs-value mismatch
+  unless ignore_nulls)
+* wide->long exception materialization via array+explode (R1,
+  compare.py:287-296) and ``_record_status`` rows (R2, compare.py:229-254)
+* match percentage (A1, compare.py:298-308):
+  ``round(100 * (n_both*n_active_fields - field_exceptions) / denom, 2)``,
+  100.0 when the denominator is 0; missing-record exceptions count toward
+  ``num_exceptions`` but never toward the formula.
+
+Scale notes: the join is a plain equi-join, so Catalyst picks
+broadcast-hash when one snapshot is small and sort-merge (AQE
+skew-splittable) otherwise; all predicates except the fuzzy kernel are
+native expressions inside whole-stage codegen.  The fuzzy kernel is one
+Arrow-batched pandas UDF evaluated only on rows where both values are
+non-null (the null gates short-circuit around it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_reconciliation_spark.config import FieldRule, ReconConfig
+from data_reconciliation_spark.functions.similarity import indel_ratio_udf
+
+_OLD, _NEW = "_old", "_new"
+_PRESENT_OLD, _PRESENT_NEW = "__present_old", "__present_new"
+RECORD_STATUS_FIELD = "_record_status"
+
+
+def _is_nullish(col: Column, dtype: T.DataType) -> Column:
+    """pandas ``isna`` parity: NULL, and NaN for float types."""
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return col.isNull() | F.isnan(col)
+    return col.isNull()
+
+
+def _mismatch_expr(
+    old: Column,
+    new: Column,
+    dtype_old: T.DataType,
+    dtype_new: T.DataType,
+    rule: FieldRule,
+    ignore_nulls: bool,
+) -> Column:
+    """One boolean Column: True iff this (row, field) is an exception.
+
+    Null gates replicate reference compare.py:334-341/360-367/385-392;
+    the value predicate replicates F1/F2/F3.
+    """
+    old_null = _is_nullish(old, dtype_old)
+    new_null = _is_nullish(new, dtype_new)
+    both_null = old_null & new_null
+    one_null = old_null | new_null  # evaluated after both_null in the when-chain
+
+    if rule.is_fuzzy:
+        # F2 (compare.py:352-375): fuzz.ratio(str(o), str(n)) < threshold.
+        value_pred = (
+            indel_ratio_udf(old.cast("string"), new.cast("string"))
+            < F.lit(float(rule.fuzzy_match))
+        )
+    elif rule.is_tolerance:
+        # F3 (compare.py:377-403): abs(float(o)-float(n)) > tol;
+        # float-coercion failure => mismatch (try_cast null while the
+        # original value is non-null).
+        to = old.cast("string").try_cast("double")
+        tn = new.cast("string").try_cast("double")
+        value_pred = F.when(to.isNull() | tn.isNull(), F.lit(True)).otherwise(
+            F.abs(to - tn) > F.lit(float(rule.tolerance))
+        )
+    else:
+        # F1 (compare.py:326-350): exact inequality.
+        value_pred = old != new
+
+    return (
+        F.when(both_null, F.lit(False))
+        .when(one_null, F.lit(not ignore_nulls))
+        .otherwise(value_pred)
+    )
+
+
+@dataclass
+class ReconcileResult:
+    """Typed analog of the reference result dict (compare.py:315-318)."""
+
+    match_pct: float
+    exceptions: DataFrame          # long format: pk..., field, old, new, change_type
+    n_both: int = 0
+    n_old_only: int = 0
+    n_new_only: int = 0
+    field_exception_count: int = 0
+    per_field_exceptions: dict[str, int] = dc_field(default_factory=dict)
+
+    def to_result(self) -> dict:
+        """Reference-shaped ``{match_pct, exceptions}`` (collects — use on
+        small/test data only; at scale, consume ``exceptions`` lazily)."""
+        pk_and_rest = [r.asDict() for r in self.exceptions.collect()]
+        for rec in pk_and_rest:
+            if rec.get("change_type") is None:
+                rec.pop("change_type", None)
+        return {"match_pct": self.match_pct, "exceptions": pk_and_rest}
+
+
+def reconcile(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    pk_cols: list[str],
+    cfg: ReconConfig | dict | None = None,
+) -> ReconcileResult:
+    """Compare two snapshots on ``pk_cols`` under ``cfg`` rules.
+
+    Pure DataFrame -> DataFrame; mirrors the library contract of the
+    reference ``run_compare(df_old, df_new, pk_cols, cfg)``
+    (``test_comparison_logic.py:13``).
+    """
+    cfg = cfg if isinstance(cfg, ReconConfig) else ReconConfig.from_dict(cfg)
+    compare_cols = [c for c in df_old.columns if c not in pk_cols]
+    missing = [c for c in compare_cols if c not in df_new.columns]
+    if missing:
+        raise ValueError(f"columns missing from new snapshot: {missing}")
+
+    old_types = dict(zip(df_old.columns, [f.dataType for f in df_old.schema.fields]))
+    new_types = dict(zip(df_new.columns, [f.dataType for f in df_new.schema.fields]))
+
+    # J1: full-outer equi-join with presence flags instead of pandas
+    # ``indicator=True``.  Joining on the pk column list (not an expr)
+    # coalesces the key columns — same shape as the pandas merge.
+    lhs = df_old.select(
+        *pk_cols,
+        *[F.col(c).alias(c + _OLD) for c in compare_cols],
+        F.lit(True).alias(_PRESENT_OLD),
+    )
+    rhs = df_new.select(
+        *pk_cols,
+        *[F.col(c).alias(c + _NEW) for c in compare_cols],
+        F.lit(True).alias(_PRESENT_NEW),
+    )
+    merged = lhs.join(rhs, on=pk_cols, how="full_outer")
+
+    active_cols = [c for c in compare_cols if not cfg.rule(c).is_ignored]
+    mismatch_cols = {
+        c: _mismatch_expr(
+            F.col(c + _OLD),
+            F.col(c + _NEW),
+            old_types[c],
+            new_types[c],
+            cfg.rule(c),
+            cfg.ignore_nulls,
+        )
+        for c in active_cols
+    }
+
+    in_both = F.col(_PRESENT_OLD).isNotNull() & F.col(_PRESENT_NEW).isNotNull()
+    old_only = F.col(_PRESENT_OLD).isNotNull() & F.col(_PRESENT_NEW).isNull()
+    new_only = F.col(_PRESENT_OLD).isNull() & F.col(_PRESENT_NEW).isNotNull()
+
+    # Single aggregation pass computes every count the match formula needs
+    # (A1/A2) — one job, map-side partial aggregation, no collect loops.
+    agg_row = merged.agg(
+        F.sum(in_both.cast("long")).alias("n_both"),
+        F.sum(old_only.cast("long")).alias("n_old_only"),
+        F.sum(new_only.cast("long")).alias("n_new_only"),
+        *[
+            F.sum((in_both & mismatch_cols[c]).cast("long")).alias(f"exc_{i}")
+            for i, c in enumerate(active_cols)
+        ],
+    ).collect()[0]
+    n_both = agg_row["n_both"] or 0
+    n_old_only = agg_row["n_old_only"] or 0
+    n_new_only = agg_row["n_new_only"] or 0
+    per_field = {
+        c: (agg_row[f"exc_{i}"] or 0) for i, c in enumerate(active_cols)
+    }
+    field_exceptions = sum(per_field.values())
+
+    # A1 — exact reference formula (compare.py:298-308).
+    denom = n_both * len(active_cols)
+    match_pct = (
+        round(100.0 * (denom - field_exceptions) / denom, 2) if denom > 0 else 100.0
+    )
+
+    # R1: wide -> long exception melt via array+filter+explode (one pass,
+    # no per-field jobs).
+    def _s(col: Column) -> Column:
+        return col.cast("string")
+
+    field_structs = F.array(
+        *[
+            F.when(
+                mismatch_cols[c],
+                F.struct(
+                    F.lit(c).alias("field"),
+                    _s(F.col(c + _OLD)).alias("old"),
+                    _s(F.col(c + _NEW)).alias("new"),
+                    F.lit(None).cast("string").alias("change_type"),
+                ),
+            )
+            for c in active_cols
+        ]
+    ) if active_cols else F.array().cast(
+        "array<struct<field:string,old:string,new:string,change_type:string>>"
+    )
+
+    field_exc_df = (
+        merged.where(in_both)
+        .select(*pk_cols, F.explode(F.filter(field_structs, lambda x: x.isNotNull())).alias("e"))
+        .select(*pk_cols, "e.field", "e.old", "e.new", "e.change_type")
+    )
+
+    if cfg.include_missing_records:
+        # R2 (compare.py:229-254).
+        deleted = merged.where(old_only).select(
+            *pk_cols,
+            F.lit(RECORD_STATUS_FIELD).alias("field"),
+            F.lit("EXISTS").alias("old"),
+            F.lit("MISSING").alias("new"),
+            F.lit("deleted_record").alias("change_type"),
+        )
+        added = merged.where(new_only).select(
+            *pk_cols,
+            F.lit(RECORD_STATUS_FIELD).alias("field"),
+            F.lit("MISSING").alias("old"),
+            F.lit("EXISTS").alias("new"),
+            F.lit("added_record").alias("change_type"),
+        )
+        exceptions = deleted.unionByName(added).unionByName(field_exc_df)
+    else:
+        exceptions = field_exc_df
+
+    return ReconcileResult(
+        match_pct=match_pct,
+        exceptions=exceptions,
+        n_both=n_both,
+        n_old_only=n_old_only,
+        n_new_only=n_new_only,
+        field_exception_count=field_exceptions,
+        per_field_exceptions=per_field,
+    )
