@@ -1,0 +1,217 @@
+"""Deduplication suite for large-scale text corpora.
+
+Engine extensions beyond the reference (which has only the 24h
+run-dedup gate, ``backend/models.py:32-49``): the dedup family a
+training-data pipeline needs, each as a DataFrame -> DataFrame operator
+over a ``documents(doc_id, text, ...)``-shaped table.
+
+* exact_dedup            — hash-groupBy on normalized text
+* ngram_jaccard_pairs    — n-gram token Jaccard over blocked pairs
+* minhash_lsh_pairs      — MinHash signature + LSH band join (scale path)
+* simhash_pairs          — SimHash bucketing + Hamming verify
+* embedding_cosine_pairs — near-dup via embedding cosine (see
+  similarity_search for the ANN variants)
+
+All blocking joins are equi-joins on derived keys (shuffle on the key,
+map-side combine first), so they scale with the shuffle, never with n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_reconciliation_spark.config import BlockingConfig
+from data_reconciliation_spark.functions.normalize import normalized_text
+from data_reconciliation_spark.functions.similarity import (
+    native_token_jaccard,
+    simhash64_udf,
+)
+from data_reconciliation_spark.operators.blocking import (
+    band_keys,
+    minhash_signature,
+    token_shingles,
+)
+
+
+def text_fingerprint(text: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of whitespace-normalized,
+    lowercased text.  Portable (DuckDB computes the identical value, so
+    the driver's oracle can verify it)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(normalized_text(text)))
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative per identical (normalized) text.
+
+    groupBy on the md5 fingerprint — map-side partial aggregation makes
+    this one shuffle of (fingerprint, min_id, count); the text itself is
+    never shuffled.
+    """
+    fp = text_fingerprint(text_col).alias("fingerprint")
+    return (
+        docs.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    block_col: Column | str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by token n-gram Jaccard within blocks.
+
+    ``block_col`` defaults to a cheap length-bucket key (near-dups have
+    near-equal token counts); at corpus scale use minhash_lsh_pairs —
+    this operator is the verify kernel / small-block path.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    if block_col is None:
+        block_col = F.floor(F.log2(F.size(toks) + 1))  # length bucket
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+    base = docs.select(
+        F.col(id_col), (F.col(block_col) if isinstance(block_col, str) else block_col).alias("block"),
+        F.array_distinct(grams).alias("grams"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), "block", F.col("grams").alias("grams_a")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), "block", F.col("grams").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    cfg: BlockingConfig | None = None,
+    verify_threshold: float | None = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale-path near-dup: shingle -> MinHash -> band -> bucket equi-join.
+
+    Candidate pairs collide on >=1 LSH band; the optional verify step
+    filters by true token-set Jaccard (native array expressions).  The
+    only shuffles are the band-key self-join and the pair dedup groupBy.
+    """
+    cfg = cfg or BlockingConfig()
+    sig = minhash_signature(token_shingles(F.col(text_col), cfg.shingle_size), cfg.num_hashes)
+    keyed = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(band_keys(sig, cfg.bands, cfg.rows_per_band)).alias("band_key"),
+    )
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"), "band_key")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"), "band_key")
+    pairs = (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("text_a").alias("text_a"), F.first("text_b").alias("text_b"))
+    )
+    if verify_threshold is not None:
+        pairs = pairs.withColumn(
+            "jaccard", native_token_jaccard(F.col("text_a"), F.col("text_b"))
+        ).where(F.col("jaccard") >= verify_threshold)
+    return pairs.select("id_a", "id_b", *( ["jaccard"] if verify_threshold is not None else [] ))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup: 64-bit signature, blocked on 64/n_chunks-bit
+    chunks.
+
+    By pigeonhole, two signatures within Hamming distance ``n_chunks - 1``
+    agree on at least one chunk — so the candidate join is an equi-join
+    on (chunk_idx, chunk_value), then an exact popcount verify.  More
+    chunks widen the distance guarantee but coarsen the buckets (more
+    candidates); ``max_hamming`` must be < ``n_chunks`` for guaranteed
+    recall.
+    """
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
+    sig = docs.select(
+        F.col(id_col), simhash64_udf(normalized_text(F.col(text_col))).alias("simhash")
+    )
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("simhash", bits * i).bitwiseAND(F.lit(mask)).alias("chunk"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_idx", "chunk"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first(hamming).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_rank(
+    docs: DataFrame,
+    key: Column | str,
+    order_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Generic keep-first dedup: rank within key, keep rank 1 (the
+    engine's version of the reference's A9 idempotent-append gate)."""
+    key = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(key).orderBy(F.col(order_col), F.col(id_col))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,660 @@
+"""Driver-contract queries: one entry per implemented operator from
+SURVEY.md §2, each with a DuckDB-equivalent oracle (see
+``__spark_entry__.py``).
+
+Conventions:
+* every callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+* every computed column is aliased identically in the Spark plan and the
+  oracle SQL (the driver hash-compares by sorted column name);
+* the reconciliation queries derive deterministic old/new snapshots from
+  ``orders`` (key-modulo splits + arithmetic perturbations) so both
+  engines see identical inputs;
+* genuinely non-SQL-expressible operators (xxhash64 minhash bands,
+  blake2b simhash, the indel-ratio UDF) ship without oracle SQL — the
+  driver records rows-only checks for those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_reconciliation_spark.functions.normalize import normalized_text
+from data_reconciliation_spark.functions.similarity import levenshtein_similarity
+from data_reconciliation_spark.operators.reconcile import reconcile
+from data_reconciliation_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# deterministic snapshot derivation (shared by Spark and the SQL oracles)
+# ---------------------------------------------------------------------------
+
+RECON_CFG = {
+    "ignore_nulls": False,
+    "include_missing_records": True,
+    "fields": {
+        "o_totalprice": {"type": "decimal", "tolerance": 0.01},
+        # o_orderstatus / o_orderpriority / o_custkey / o_orderdate -> exact
+    },
+}
+
+OLD_FILTER_MOD, NEW_FILTER_MOD = 11, 13
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = read_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % OLD_FILTER_MOD != 0)
+    new = (
+        orders.where(F.col("o_orderkey") % NEW_FILTER_MOD != 0)
+        .withColumn(
+            "o_totalprice",
+            F.col("o_totalprice") + (F.col("o_orderkey") % 3).cast("double") * 0.02,
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 17 == 0, F.lit("X-PRIORITY")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    return old, new
+
+
+_SQL_OLD = f"(SELECT * FROM orders WHERE o_orderkey % {OLD_FILTER_MOD} <> 0)"
+_SQL_NEW = f"""(
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + (o_orderkey % 3) * 0.02 AS o_totalprice,
+         o_orderdate,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'X-PRIORITY' ELSE o_orderpriority END
+           AS o_orderpriority
+  FROM orders WHERE o_orderkey % {NEW_FILTER_MOD} <> 0
+)"""
+
+
+# ---------------------------------------------------------------------------
+# J1/P6: full-outer merge with presence flags
+# ---------------------------------------------------------------------------
+
+def q_j1_full_outer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _snapshots(spark, sf_dir)
+    lhs = old.select("o_orderkey", F.lit(True).alias("__po"))
+    rhs = new.select("o_orderkey", F.lit(True).alias("__pn"))
+    merged = lhs.join(rhs, "o_orderkey", "full_outer")
+    return merged.select(
+        "o_orderkey",
+        F.col("__po").isNotNull().alias("present_old"),
+        F.col("__pn").isNotNull().alias("present_new"),
+    )
+
+
+SQL_J1 = f"""
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       o.o_orderkey IS NOT NULL AS present_old,
+       n.o_orderkey IS NOT NULL AS present_new
+FROM {_SQL_OLD} o FULL OUTER JOIN {_SQL_NEW} n USING (o_orderkey)
+"""
+
+
+# J2/J3: anti-joins ----------------------------------------------------------
+
+def q_j2_deleted_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _snapshots(spark, sf_dir)
+    return old.join(new, "o_orderkey", "left_anti").select("o_orderkey", "o_totalprice")
+
+
+SQL_J2 = f"""
+SELECT o.o_orderkey, o.o_totalprice
+FROM {_SQL_OLD} o LEFT JOIN {_SQL_NEW} n USING (o_orderkey)
+WHERE n.o_orderkey IS NULL
+"""
+
+
+def q_j3_added_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _snapshots(spark, sf_dir)
+    return new.join(old, "o_orderkey", "left_anti").select("o_orderkey", "o_totalprice")
+
+
+SQL_J3 = f"""
+SELECT n.o_orderkey, n.o_totalprice
+FROM {_SQL_NEW} n LEFT JOIN {_SQL_OLD} o USING (o_orderkey)
+WHERE o.o_orderkey IS NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reconciliation core: exceptions + metrics (F1/F3/F5, R1/R2, A1/A2)
+# ---------------------------------------------------------------------------
+
+def q_reconcile_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _snapshots(spark, sf_dir)
+    res = reconcile(old, new, ["o_orderkey"], RECON_CFG)
+    return res.exceptions.select("o_orderkey", "field", "old", "new")
+
+
+# DuckDB replicates the full exception surface: record-status rows from
+# the anti-joins + per-field mismatch rows with exact reference null
+# semantics (both-null match / null-vs-value mismatch) and the
+# float-tolerance rule.  Value stringification matches Spark's
+# cast-to-string for the involved types.
+SQL_RECONCILE_EXC = f"""
+WITH o AS (SELECT * FROM {_SQL_OLD}), n AS (SELECT * FROM {_SQL_NEW}),
+both_rows AS (SELECT o.*, n.o_custkey AS n_custkey, n.o_orderstatus AS n_orderstatus,
+                     n.o_totalprice AS n_totalprice, n.o_orderdate AS n_orderdate,
+                     n.o_orderpriority AS n_orderpriority
+              FROM o JOIN n USING (o_orderkey))
+SELECT o.o_orderkey, '_record_status' AS field, 'EXISTS' AS old, 'MISSING' AS new
+FROM o LEFT JOIN n USING (o_orderkey) WHERE n.o_orderkey IS NULL
+UNION ALL
+SELECT n.o_orderkey, '_record_status' AS field, 'MISSING' AS old, 'EXISTS' AS new
+FROM n LEFT JOIN o USING (o_orderkey) WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT o_orderkey, 'o_custkey' AS field, CAST(o_custkey AS VARCHAR) AS old,
+       CAST(n_custkey AS VARCHAR) AS new
+FROM both_rows WHERE o_custkey IS DISTINCT FROM n_custkey
+UNION ALL
+SELECT o_orderkey, 'o_orderstatus', o_orderstatus, n_orderstatus
+FROM both_rows WHERE o_orderstatus IS DISTINCT FROM n_orderstatus
+UNION ALL
+SELECT o_orderkey, 'o_totalprice', CAST(o_totalprice AS VARCHAR),
+       CAST(n_totalprice AS VARCHAR)
+FROM both_rows
+WHERE (o_totalprice IS NULL) <> (n_totalprice IS NULL)
+   OR (o_totalprice IS NOT NULL AND n_totalprice IS NOT NULL
+       AND abs(o_totalprice - n_totalprice) > 0.01)
+UNION ALL
+SELECT o_orderkey, 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+       strftime(n_orderdate, '%Y-%m-%d %H:%M:%S')
+FROM both_rows WHERE o_orderdate IS DISTINCT FROM n_orderdate
+UNION ALL
+SELECT o_orderkey, 'o_orderpriority', o_orderpriority, n_orderpriority
+FROM both_rows WHERE o_orderpriority IS DISTINCT FROM n_orderpriority
+"""
+
+
+def q_a1_match_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _snapshots(spark, sf_dir)
+    res = reconcile(old, new, ["o_orderkey"], RECON_CFG)
+    return spark.createDataFrame(
+        [
+            (
+                res.n_both,
+                res.n_old_only,
+                res.n_new_only,
+                res.field_exception_count,
+                res.match_pct,
+            )
+        ],
+        "n_both long, n_old_only long, n_new_only long, field_exceptions long, "
+        "match_pct double",
+    )
+
+
+SQL_A1 = f"""
+WITH o AS (SELECT * FROM {_SQL_OLD}), n AS (SELECT * FROM {_SQL_NEW}),
+b AS (SELECT o.o_orderkey,
+             o.o_custkey AS oc, n.o_custkey AS nc,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns,
+             o.o_totalprice AS op, n.o_totalprice AS np,
+             o.o_orderdate AS od, n.o_orderdate AS nd,
+             o.o_orderpriority AS opr, n.o_orderpriority AS npr
+      FROM o JOIN n USING (o_orderkey)),
+exc AS (
+  SELECT
+    SUM(CASE WHEN oc IS DISTINCT FROM nc THEN 1 ELSE 0 END)
+    + SUM(CASE WHEN os IS DISTINCT FROM ns THEN 1 ELSE 0 END)
+    + SUM(CASE WHEN (op IS NULL) <> (np IS NULL)
+               OR (op IS NOT NULL AND np IS NOT NULL AND abs(op - np) > 0.01)
+               THEN 1 ELSE 0 END)
+    + SUM(CASE WHEN od IS DISTINCT FROM nd THEN 1 ELSE 0 END)
+    + SUM(CASE WHEN opr IS DISTINCT FROM npr THEN 1 ELSE 0 END) AS field_exceptions,
+    COUNT(*) AS n_both
+  FROM b)
+SELECT
+  n_both,
+  (SELECT COUNT(*) FROM o LEFT JOIN n USING (o_orderkey)
+   WHERE n.o_orderkey IS NULL) AS n_old_only,
+  (SELECT COUNT(*) FROM n LEFT JOIN o USING (o_orderkey)
+   WHERE o.o_orderkey IS NULL) AS n_new_only,
+  field_exceptions,
+  round(100.0 * (n_both * 5 - field_exceptions) / (n_both * 5), 2) AS match_pct
+FROM exc
+"""
+
+
+# ---------------------------------------------------------------------------
+# F2 (fuzzy, SQL-checkable variant): levenshtein similarity on documents
+# ---------------------------------------------------------------------------
+
+def q_f2_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("ta")
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.substring("text", 1, 40).alias("tb"),
+    )
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(levenshtein_similarity(F.col("ta"), F.col("tb")), 4).alias("lev_sim"),
+        )
+        .where(F.col("lev_sim") >= 30.0)
+    )
+
+
+SQL_F2 = """
+WITH d AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(100.0 * (1.0 - levenshtein(a.t, b.t)::DOUBLE /
+             greatest(length(a.t), length(b.t))), 4) AS lev_sim
+FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+WHERE 100.0 * (1.0 - levenshtein(a.t, b.t)::DOUBLE /
+      greatest(length(a.t), length(b.t))) >= 30.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# F3 standalone tolerance + try_cast coercion semantics (X3)
+# ---------------------------------------------------------------------------
+
+def q_f3_tolerance_with_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance compare over *stringified* numerics incl. unparsable
+    values (reference compare.py:394-399: coercion failure => mismatch)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # string-typed observations; every 50th is unparsable
+        F.when(F.col("l_linenumber") % 50 == 0, F.lit("n/a"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("q_old"),
+        (F.col("l_quantity") + (F.col("l_orderkey") % 5).cast("double") * 0.3)
+        .cast("string")
+        .alias("q_new"),
+    )
+    to, tn = F.try_cast("q_old", "double"), F.try_cast("q_new", "double")
+    mismatch = F.when(to.isNull() | tn.isNull(), F.lit(True)).otherwise(
+        F.abs(to - tn) > 1.0
+    )
+    return df.where(mismatch).select("l_orderkey", "l_linenumber", "q_old", "q_new")
+
+
+SQL_F3 = """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber % 50 = 0 THEN 'n/a'
+              ELSE CAST(l_quantity AS VARCHAR) END AS q_old,
+         CAST(l_quantity + (l_orderkey % 5) * 0.3 AS VARCHAR) AS q_new
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, q_old, q_new
+FROM s
+WHERE TRY_CAST(q_old AS DOUBLE) IS NULL OR TRY_CAST(q_new AS DOUBLE) IS NULL
+   OR abs(TRY_CAST(q_old AS DOUBLE) - TRY_CAST(q_new AS DOUBLE)) > 1.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# P7: rejected-exception filter (anti-join on a small id set)
+# ---------------------------------------------------------------------------
+
+def q_p7_rejected_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    rejected = orders.where(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+    return (
+        orders.join(F.broadcast(rejected), "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_P7 = """
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2-A8, O1-O4: aggregation / ordering surface
+# ---------------------------------------------------------------------------
+
+def q_a7_history_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("value") >= 95.0, 1).otherwise(0)).alias("good_events"),
+    )
+
+
+SQL_A7 = """
+SELECT user_id, round(avg(value), 4) AS avg_value, COUNT(*) AS n_events,
+       SUM(CASE WHEN value >= 95.0 THEN 1 ELSE 0 END) AS good_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_a8_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_reconciliation_spark.operators.profiling import uniqueness_profile
+
+    return uniqueness_profile(read_table(spark, sf_dir, "customer"))
+
+
+SQL_A8 = """
+SELECT * FROM (
+  SELECT 'c_custkey' AS column, COUNT(DISTINCT c_custkey) AS distinct_count,
+         COUNT(*) AS row_count,
+         COUNT(DISTINCT c_custkey) = COUNT(*) AS is_unique FROM customer
+  UNION ALL
+  SELECT 'c_name', COUNT(DISTINCT c_name), COUNT(*),
+         COUNT(DISTINCT c_name) = COUNT(*) FROM customer
+  UNION ALL
+  SELECT 'c_nationkey', COUNT(DISTINCT c_nationkey), COUNT(*),
+         COUNT(DISTINCT c_nationkey) = COUNT(*) FROM customer
+  UNION ALL
+  SELECT 'c_acctbal', COUNT(DISTINCT c_acctbal), COUNT(*),
+         COUNT(DISTINCT c_acctbal) = COUNT(*) FROM customer
+  UNION ALL
+  SELECT 'c_mktsegment', COUNT(DISTINCT c_mktsegment), COUNT(*),
+         COUNT(DISTINCT c_mktsegment) = COUNT(*) FROM customer
+)
+"""
+
+
+def q_a9_dedup_gate_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24h idempotency gate generalized to events: keep an event only if
+    the previous event with the same (user_id, event_type) is more than
+    24h older (reference models.py:32-49 semantics)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return (
+        ev.withColumn("prev_ts", prev_ts)
+        .where(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 86400)
+        )
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+SQL_A9 = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 86400
+"""
+
+
+def q_o1_history_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("user_id") == 1)
+        .orderBy("ts", "event_id")
+        .limit(20)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+SQL_O1 = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE user_id = 1 ORDER BY ts, event_id LIMIT 20
+"""
+
+
+def q_o4_top2_by_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = q_a8_uniqueness_profile(spark, sf_dir)
+    return (
+        prof.orderBy(F.desc("distinct_count"), "column")
+        .limit(2)
+        .select("column", "distinct_count")
+    )
+
+
+SQL_O4 = f"""
+SELECT column, distinct_count FROM ({SQL_A8})
+ORDER BY distinct_count DESC, column LIMIT 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family on documents
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_reconciliation_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_reconciliation_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    block = F.concat_ws(
+        "|", F.col("lang"), F.col("source"), F.floor(F.col("n_chars") / 100).cast("string")
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, n=3, block_col=block)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_NGRAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         lang || '|' || source || '|' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, block,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))
+           ELSE [array_to_string(t, ' ')] END) AS g
+  FROM toks)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.g, b.g))::DOUBLE /
+             len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+FROM grams a JOIN grams b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+      len(list_distinct(list_concat(a.g, b.g))) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis on documents
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_reconciliation_spark.functions.text import (
+        punct_ratio,
+        whitespace_token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       CASE WHEN length(regexp_replace(trim(text), '\s+', ' ', 'g')) = 0 THEN 0
+            ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+       END AS n_tokens,
+       length(text) AS n_chars_actual,
+       round(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE
+                  / length(text) END, 6) AS punct_ratio
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_reconciliation_spark.functions.text import lang_id
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+# DuckDB replica of the argmax-with-struct-tiebreak: Spark's
+# greatest(struct(hits, lang)) favors the lexicographically larger lang
+# on hit ties ('es' > 'en' > 'de').
+SQL_LANG_ID = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(
+      ['the','and','of','to','in','is','a','that','it','for'], x))) AS h_en,
+    len(list_filter(toks, x -> list_contains(
+      ['der','die','das','und','ist','ein','nicht','mit','zu','auf'], x))) AS h_de,
+    len(list_filter(toks, x -> list_contains(
+      ['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es
+  FROM t)
+SELECT doc_id,
+  CASE WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_de THEN 'es'
+       WHEN h_en > 0 AND h_en >= h_de THEN 'en'
+       WHEN h_de > 0 THEN 'de'
+       ELSE 'und' END AS lang_guess
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force cosine top-k (exact; double math both sides)
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_reconciliation_spark.operators.similarity_search import brute_force_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(emb, queries, k=5)
+    return top.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+SQL_ANN = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         list_sum(list_transform(range(1, len(c.embedding) + 1),
+            i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))))
+         AS cos_full
+  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q),
+ranked AS (
+  SELECT query_id, vec_id, cos_full,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_full DESC, vec_id) AS rank
+  FROM pairs)
+SELECT query_id, vec_id, round(cos_full, 4) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Connected components on a deterministic chain graph (C1)
+# ---------------------------------------------------------------------------
+
+def q_cluster_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chains of 20 consecutive event ids; the star-contraction output
+    must label every node with the chain head — an exactly-known oracle
+    that still forces multiple contraction rounds."""
+    from data_reconciliation_spark.operators.cluster import connected_components
+
+    ev = read_table(spark, sf_dir, "events").select("event_id")
+    edges = ev.where(F.col("event_id") % 20 != 0).select(
+        F.col("event_id").cast("string").alias("src"),
+        F.format_string("%d", F.col("event_id") - 1).alias("dst"),
+    )
+    # string node ids sort lexicographically; zero-pad for numeric order
+    edges = ev.where(F.col("event_id") % 20 != 0).select(
+        F.format_string("n%09d", F.col("event_id")).alias("src"),
+        F.format_string("n%09d", F.col("event_id") - 1).alias("dst"),
+    )
+    comp = connected_components(edges)
+    return comp.select(F.col("node"), F.col("component"))
+
+
+SQL_CLUSTER_CHAIN = """
+WITH nodes AS (
+  SELECT event_id FROM events
+  WHERE event_id % 20 <> 0
+  UNION
+  SELECT event_id - 1 FROM events WHERE event_id % 20 <> 0
+)
+SELECT printf('n%09d', event_id) AS node,
+       printf('n%09d', event_id - (event_id % 20)) AS component
+FROM nodes
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle: xxhash64 / blake2b / indel UDF)
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_reconciliation_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, verify_threshold=0.6)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_reconciliation_spark.operators.dedup import simhash_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=6, n_chunks=8)
+
+
+def q_indel_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rapidfuzz-parity fuzzy scoring (F2) — consecutive-doc pairs."""
+    from data_reconciliation_spark.functions.similarity import indel_ratio_udf
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("tb"),
+    )
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a", "id_b",
+            F.round(indel_ratio_udf(F.col("ta"), F.col("tb")), 4).alias("ratio"),
+        )
+    )
+
+
+def q_er_link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship ER pipeline on deterministic synthetic pages (the
+    testdata tables carry no page corpus; the generator is seeded, so
+    this is reproducible)."""
+    from data_reconciliation_spark.plans.pipeline import link
+    from data_reconciliation_spark.testgen import generate_pages
+
+    pages = generate_pages(spark, n_rows=400, n_entities=100, seed=42)
+    return link(pages).clusters

@@ -1,0 +1,57 @@
+"""The flagship ER pipeline: blocking -> pair scoring -> transitive
+clustering (BASELINE.json north_star stages 1-3).
+
+``link(pages)`` is the engine's generalization of the reference's
+``run_compare`` contract (SURVEY.md §3.2): pure DataFrame -> DataFrames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_reconciliation_spark.config import BlockingConfig, ScoringConfig
+from data_reconciliation_spark.operators.cluster import connected_components
+from data_reconciliation_spark.operators.scoring import block_score_pipeline
+from data_reconciliation_spark.sources.state import CheckpointManager
+
+
+@dataclass
+class LinkResult:
+    scored_pairs: DataFrame   # every candidate pair + features + verdict
+    matches: DataFrame        # verdict-positive pairs (url_a, url_b, score)
+    clusters: DataFrame       # (url, entity) — every input url labeled
+
+
+def link(
+    pages: DataFrame,
+    blocking_cfg: BlockingConfig | None = None,
+    scoring_cfg: ScoringConfig | None = None,
+    checkpoint: CheckpointManager | None = None,
+    max_iter: int = 30,
+) -> LinkResult:
+    """Resolve a page table into entity clusters.
+
+    The scored-pair table is persisted (storage-level memory+disk) because
+    it feeds both the match-edge extraction and downstream metrics; the
+    closure loop itself checkpoints per round when a manager is given.
+    """
+    scored = block_score_pipeline(pages, blocking_cfg, scoring_cfg)
+    matches = scored.where(F.col("is_match")).select("url_a", "url_b", "score")
+
+    components = connected_components(
+        matches, src="url_a", dst="url_b", max_iter=max_iter, checkpoint=checkpoint
+    )
+
+    # every url gets a label; urls in no match pair are their own entity
+    clusters = (
+        pages.select("url")
+        .join(components, pages["url"] == components["node"], "left")
+        .select(
+            "url",
+            F.coalesce(F.col("component"), F.col("url")).alias("entity"),
+        )
+    )
+    return LinkResult(scored_pairs=scored, matches=matches, clusters=clusters)

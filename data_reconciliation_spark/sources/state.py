@@ -1,0 +1,183 @@
+"""Checkpoint / resume state store + audit & lineage tables.
+
+The engine's version of the reference's Postgres persistence
+(``backend/models.py:6-94``: MatchingData/ExceptionRecord + the 24h
+dedup gate at ``models.py:32-49``), plus the north-rule requirements the
+reference lacks: per-iteration checkpoints a killed job resumes from,
+and per-partition lineage/row-count metrics per stage.
+
+Storage is an interface: the design target is Iceberg
+(``writeTo(...).overwritePartitions()`` + snapshot reads), but the
+sandbox has no Iceberg runtime jar, so the default backend is
+Parquet directories + an atomically-renamed JSON manifest — the same
+commit protocol (write data, then publish metadata) Iceberg uses,
+scoped down.  Swapping backends changes only this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointManager:
+    """Iteration-checkpoint store with atomic manifest commits.
+
+    Layout::
+
+        <root>/manifest.json          {"iteration": k, "path": "iter_k", ...}
+        <root>/iter_000001/*.parquet
+        <root>/lineage/*.parquet      per-partition metrics per save
+
+    ``save`` is crash-safe: the parquet snapshot is fully written before
+    the manifest rename publishes it, so a kill at any point leaves the
+    previous iteration readable (resume semantics the north rule pins).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, keep_history: bool = True):
+        self.spark = spark
+        self.root = root
+        self.keep_history = keep_history
+        os.makedirs(root, exist_ok=True)
+        os.makedirs(self._lineage_dir, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    @property
+    def _lineage_dir(self) -> str:
+        return os.path.join(self.root, "lineage")
+
+    def save(self, iteration: int, df: DataFrame, stage: str = "closure") -> None:
+        path = os.path.join(self.root, f"iter_{iteration:06d}")
+        df.write.mode("overwrite").parquet(path)
+
+        # per-partition lineage metrics for this snapshot (north rule):
+        # rows per shuffle partition of the written data.
+        metrics = (
+            self.spark.read.parquet(path)
+            .groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("row_count"))
+            .withColumn("iteration", F.lit(iteration))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("saved_at", F.current_timestamp())
+        )
+        metrics.write.mode("append").parquet(self._lineage_dir)
+
+        manifest = {
+            "iteration": iteration,
+            "path": path,
+            "stage": stage,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)  # atomic publish
+
+    def latest(self) -> tuple[int, DataFrame] | None:
+        """(iteration, DataFrame) of the newest committed checkpoint."""
+        if not os.path.exists(self._manifest_path):
+            return None
+        with open(self._manifest_path) as f:
+            manifest = json.load(f)
+        return manifest["iteration"], self.spark.read.parquet(manifest["path"])
+
+    def lineage(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self._lineage_dir)
+        except Exception:
+            return None
+
+
+class AuditStore:
+    """Run-history + exception persistence (reference models.py analog).
+
+    runs:       run_id, date, match_rate, system_name, num_exceptions,
+                primary_key_used
+    exceptions: run_id + long-format exception rows
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _table(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def save_run(
+        self,
+        system_name: str,
+        match_rate: float,
+        exceptions: DataFrame,
+        primary_key_used: str,
+        dedup_window_hours: int = 24,
+        now: datetime | None = None,
+    ) -> str | None:
+        """Persist one run + its exceptions.
+
+        Implements the reference's 24h dedup gate (models.py:32-49): if a
+        run with the same (system, pk, rate, n_exceptions) exists within
+        the window, skip the save and return None.
+        """
+        now = now or datetime.now(timezone.utc)
+        num_exceptions = exceptions.count()
+        runs = self.read_runs()
+        if runs is not None:
+            cutoff = now - timedelta(hours=dedup_window_hours)
+            dup = (
+                runs.where(
+                    (F.col("system_name") == system_name)
+                    & (F.col("primary_key_used") == primary_key_used)
+                    & (F.col("match_rate") == match_rate)
+                    & (F.col("num_exceptions") == num_exceptions)
+                    & (F.col("date") >= F.lit(cutoff))
+                )
+                .limit(1)
+                .count()
+            )
+            if dup:
+                return None
+
+        run_id = uuid.uuid4().hex
+        header = self.spark.createDataFrame(
+            [(run_id, now, float(match_rate), system_name, num_exceptions, primary_key_used)],
+            "run_id string, date timestamp, match_rate double, system_name string, "
+            "num_exceptions long, primary_key_used string",
+        )
+        header.write.mode("append").parquet(self._table("runs"))
+        exceptions.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
+            self._table("exceptions")
+        )
+        return run_id
+
+    def read_runs(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self._table("runs"))
+        except Exception:
+            return None
+
+    def read_exceptions(self, run_id: str | None = None) -> DataFrame | None:
+        try:
+            df = self.spark.read.parquet(self._table("exceptions"))
+        except Exception:
+            return None
+        return df.where(F.col("run_id") == run_id) if run_id else df
+
+    def history(self, system_name: str, pk: str | None = None) -> DataFrame | None:
+        """Reference GET /history analog (models.py:96-103): filter by
+        system (+ optional pk), ordered by date ascending."""
+        runs = self.read_runs()
+        if runs is None:
+            return None
+        out = runs.where(F.col("system_name") == system_name)
+        if pk:
+            out = out.where(F.col("primary_key_used") == pk)
+        return out.orderBy("date")

@@ -1,0 +1,98 @@
+"""Structured Streaming operators.
+
+The reference is purely request-scoped batch (SURVEY.md §2.10:
+"Streaming: none"), so nothing here is parity-gated; these are the
+engine extensions a continuously-crawled corpus needs:
+
+* windowed_event_dedup — streaming generalization of the 24h dedup gate
+  (reference ``models.py:32-49``): watermark + dropDuplicatesWithinWatermark.
+* incremental_exception_stream — micro-batch reconciliation: a stream of
+  "new snapshot" rows joined against a static baseline, emitting the
+  same long-format exception records as the batch ``reconcile``.
+
+Both return unstarted streaming DataFrames; callers attach sinks.  At
+cluster scale the state store is RocksDB
+(``spark.sql.streaming.stateStore.providerClass``) with checkpointing to
+object storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_reconciliation_spark.config import ReconConfig
+from data_reconciliation_spark.operators.reconcile import _mismatch_expr
+
+
+def windowed_event_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Drop events whose key re-appears within the watermark window —
+    the streaming analog of the reference's 24h idempotent-save gate."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def incremental_exception_stream(
+    new_stream: DataFrame,
+    baseline: DataFrame,
+    pk_cols: list[str],
+    cfg: ReconConfig | dict | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static join reconciliation.
+
+    Each arriving row is compared against the static baseline snapshot
+    under the same field rules as batch ``reconcile``; output is the
+    long-format exception stream.  Stream-static inner joins need no
+    state store; the baseline should be broadcast-sized per executor or
+    bucketed on the PK.
+    """
+    cfg = cfg if isinstance(cfg, ReconConfig) else ReconConfig.from_dict(cfg)
+    compare_cols = [
+        c for c in baseline.columns if c not in pk_cols and c in new_stream.columns
+    ]
+    active = [c for c in compare_cols if not cfg.rule(c).is_ignored]
+
+    base_types = {f.name: f.dataType for f in baseline.schema.fields}
+    new_types = {f.name: f.dataType for f in new_stream.schema.fields}
+
+    old = baseline.select(
+        *pk_cols, *[F.col(c).alias(c + "_old") for c in compare_cols]
+    )
+    stream = new_stream.withWatermark(ts_col, watermark).select(
+        *pk_cols, F.col(ts_col), *[F.col(c).alias(c + "_new") for c in compare_cols]
+    )
+    joined = stream.join(old, pk_cols, "inner")
+
+    structs = F.array(
+        *[
+            F.when(
+                _mismatch_expr(
+                    F.col(c + "_old"),
+                    F.col(c + "_new"),
+                    base_types[c],
+                    new_types[c],
+                    cfg.rule(c),
+                    cfg.ignore_nulls,
+                ),
+                F.struct(
+                    F.lit(c).alias("field"),
+                    F.col(c + "_old").cast("string").alias("old"),
+                    F.col(c + "_new").cast("string").alias("new"),
+                ),
+            )
+            for c in active
+        ]
+    )
+    return joined.select(
+        *pk_cols,
+        F.col(ts_col),
+        F.explode(F.filter(structs, lambda x: x.isNotNull())).alias("e"),
+    ).select(*pk_cols, ts_col, "e.field", "e.old", "e.new")

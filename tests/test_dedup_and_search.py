@@ -1,0 +1,238 @@
+"""Tests for the dedup suite, similarity search, text functions,
+profiling, multimodal plumbing, and state/audit stores."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_reconciliation_spark.functions.text import (
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+    whitespace_token_count,
+)
+from data_reconciliation_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from data_reconciliation_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+)
+from data_reconciliation_spark.operators.profiling import (
+    detect_primary_key,
+    uniqueness_profile,
+)
+from data_reconciliation_spark.operators.similarity_search import (
+    brute_force_topk,
+    cosine_sim,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+from data_reconciliation_spark.sources.state import AuditStore
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog", "en"),     # near dup of 0
+        (3, "completely different content about spark engines", "en"),
+        (4, "  The Quick Brown fox jumps over the lazy dog  ", "en"),  # case/ws dup of 0
+        (5, "der hund ist nicht auf der couch und das ist gut", "de"),
+        (6, "totally unrelated words forming another document body", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup(docs).collect()
+    # 0,1,4 share a fingerprint (case/whitespace-normalized)
+    big = [g for g in groups if g["dup_count"] == 3]
+    assert len(big) == 1 and big[0]["keep_id"] == 0
+    assert sum(g["dup_count"] for g in groups) == 7
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.35, block_col=F.lit(1)).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    # doc0 vs doc2 share 4 of 10 distinct trigrams -> exactly 0.4
+    assert (0, 2) in pairs and abs(pairs[(0, 2)] - 0.4) < 1e-12
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_pairs(docs):
+    got = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, verify_threshold=0.6).collect()
+    }
+    assert (0, 1) in got          # identical
+    assert (0, 2) in got          # near dup collides on >=1 band
+    assert (0, 3) not in got and (3, 6) not in got
+
+
+def test_simhash_pairs(docs):
+    # doc0 vs doc2 have Hamming distance 5 -> 8 chunks guarantee recall
+    # for any distance <= 7 by pigeonhole.
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=6, n_chunks=8).collect()
+    }
+    assert got.get((0, 1)) == 0
+    assert got.get((0, 2)) == 5
+    assert (0, 3) not in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 8).astype("float32")
+    base[7] = base[3] * 1.5            # exact cosine twin of 3
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk(spark, vectors):
+    queries = vectors.where("vec_id = 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(vectors, queries, k=3).orderBy("rank").collect()
+    # rank1 = self (cosine 1.0), rank2 = scaled twin (cosine ~1.0)
+    assert top[0]["vec_id"] == 3 and abs(top[0]["cosine"] - 1.0) < 1e-9
+    assert top[1]["vec_id"] == 7 and abs(top[1]["cosine"] - 1.0) < 1e-6
+    # exact parity with numpy oracle on rank-3
+    import numpy as np
+
+    mat = np.array(vectors.orderBy("vec_id").toPandas()["embedding"].tolist(), dtype="float64")
+    sims = mat @ mat[3] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[3]))
+    order = np.argsort([(-s, i) for i, s in enumerate(sims)], axis=0)
+    want_third = sorted(((-s, i) for i, s in enumerate(sims)))[2][1]
+    assert top[2]["vec_id"] == want_third
+
+
+def test_lsh_and_ivf_find_twin(vectors):
+    queries = vectors.where("vec_id = 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = lsh_bucketed_topk(vectors, queries, k=3, n_planes=4, dim=8).collect()
+    assert any(r["vec_id"] == 7 for r in lsh)  # twin shares every hyperplane sign
+    ivf = ivf_topk(vectors, queries, n_centroids=4, nprobe=2, k=3).collect()
+    assert any(r["vec_id"] == 7 for r in ivf)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog sat in the house for a while"),
+            (1, "der hund und die katze, das ist ein haus mit garten"),
+            (2, ""),
+            (3, "!!! ??? ;;; ###"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            whitespace_token_count("text").alias("ntok"),
+            lang_id("text").alias("lang"),
+            stopword_ratio("text", "en").alias("sw_en"),
+            quality_score("text").alias("q"),
+            rolling_fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert rows[0]["ntok"] == 12 and rows[0]["lang"] == "en" and rows[0]["sw_en"] > 0.3
+    assert rows[1]["lang"] == "de"
+    assert rows[2]["ntok"] == 0 and rows[2]["lang"] == "und"
+    assert rows[3]["q"] < rows[0]["q"]
+    assert isinstance(rows[0]["fp"], int)
+    # fingerprint stable under trailing-edit (min window far from edit)
+    fp2 = (
+        spark.createDataFrame(
+            [(0, "the cat and the dog sat in the house for a time")], "doc_id long, text string"
+        )
+        .select(rolling_fingerprint("text").alias("fp"))
+        .collect()[0]["fp"]
+    )
+    # both documents share all but the final window; min usually unchanged
+    # (not guaranteed — just assert determinism of repeated evaluation)
+    fp_again = df.where("doc_id=0").select(rolling_fingerprint("text").alias("fp")).collect()[0]["fp"]
+    assert fp_again == rows[0]["fp"]
+
+
+def test_uniqueness_profile_and_pk_detection(spark):
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 10), (3, "z", 20)], "id long, name string, grp long"
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 30), (2, "q", 30), (4, "z", 40)], "id long, name string, grp long"
+    )
+    prof = {r["column"]: r for r in uniqueness_profile(a).collect()}
+    assert prof["id"]["is_unique"] and not prof["grp"]["is_unique"]
+    assert detect_primary_key(a, b) == ["id"]
+    # `name` unique on both sides while `id` is not -> name wins alone
+    a2 = a.withColumn("id", F.col("grp"))
+    b2 = b.withColumn("id", F.col("grp"))
+    assert detect_primary_key(a2, b2) == ["name"]
+    # no unique common column -> top-2 by combined distinct count
+    a3 = a2.withColumn("name", F.lit("same"))
+    b3 = b2.withColumn("name", F.lit("same"))
+    top2 = detect_primary_key(a3, b3)
+    assert len(top2) == 2 and "name" not in top2
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (0, "image", b"\x00\x01\x02\x03" * 16, "image/png", 8, 8, None),
+        (1, "video", b"\xff" * 64, "video/mp4", 64, 48, 3500),
+        (2, "audio", None, "audio/wav", None, None, 2000),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    feats = {r["media_id"]: r for r in extract_features(media, dim=4).collect()}
+    assert feats[0]["n_bytes"] == 64
+    assert len(feats[0]["feature"]) == 4
+    assert abs(sum(x * x for x in feats[0]["feature"]) - 1.0) < 1e-5  # L2 normalized
+    assert feats[2]["feature"] is None and feats[2]["n_bytes"] == 0
+    # deterministic across runs
+    feats2 = {r["media_id"]: r for r in extract_features(media, dim=4).collect()}
+    assert feats2[0]["feature"] == feats[0]["feature"]
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert len(frames) == 4  # 3500ms -> ts 0,1000,2000,3000
+    assert {f["frame_ts_ms"] for f in frames} == {0, 1000, 2000, 3000}
+
+    from data_reconciliation_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"...")
+
+
+def test_audit_store_dedup_gate(spark, tmp_path):
+    store = AuditStore(spark, str(tmp_path / "audit"))
+    exc = spark.createDataFrame([(1, "f", "a", "b")], "id long, field string, old string, new string")
+    rid1 = store.save_run("sysA", 98.5, exc, "id")
+    assert rid1 is not None
+    # identical run within 24h -> gated (A9, models.py:32-49)
+    rid2 = store.save_run("sysA", 98.5, exc, "id")
+    assert rid2 is None
+    # different rate -> saved
+    rid3 = store.save_run("sysA", 97.0, exc, "id")
+    assert rid3 is not None
+    hist = store.history("sysA").collect()
+    assert len(hist) == 2
+    assert hist[0]["date"] <= hist[1]["date"]
+    assert store.read_exceptions(rid1).count() == 1

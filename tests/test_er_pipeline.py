@@ -1,0 +1,178 @@
+"""End-to-end ER pipeline tests: generator determinism, byte-identical
+extraction, blocking recall, pairwise F1 >= 0.99 on labeled pairs,
+closure correctness vs networkx, and checkpoint resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_reconciliation_spark.config import BlockingConfig, ScoringConfig
+from data_reconciliation_spark.functions.normalize import (
+    extract_text_from_html,
+    extract_title_from_html,
+)
+from data_reconciliation_spark.operators.blocking import candidate_pairs
+from data_reconciliation_spark.operators.cluster import connected_components
+from data_reconciliation_spark.operators.scoring import score_pairs
+from data_reconciliation_spark.plans.pipeline import link
+from data_reconciliation_spark.sources.state import CheckpointManager
+from data_reconciliation_spark.testgen import generate_pages, labeled_pairs
+
+N_ROWS = 600
+N_ENTITIES = 150
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, n_rows=N_ROWS, n_entities=N_ENTITIES, seed=42).cache()
+
+
+def test_generator_deterministic(spark, pages):
+    again = generate_pages(spark, n_rows=N_ROWS, n_entities=N_ENTITIES, seed=42)
+    assert pages.exceptAll(again).count() == 0
+    assert again.exceptAll(pages).count() == 0
+    # ~20% of rows on the hot host (skew fixture)
+    hot_frac = (
+        pages.where(F.col("host") == "hot.example.com").count() / pages.count()
+    )
+    assert 0.10 < hot_frac < 0.35
+
+
+def test_extraction_byte_identical(pages):
+    """North-rule invariant: text extracted from html bytes == the text
+    column, byte for byte, for every url."""
+    bad = pages.where(
+        (extract_text_from_html("html") != F.col("text"))
+        | (extract_title_from_html("html") != F.col("title"))
+    ).count()
+    assert bad == 0
+
+
+def test_blocking_recall(pages):
+    """Every intra-entity pair must be a candidate (they share the host
+    key at minimum)."""
+    cands = candidate_pairs(pages, BlockingConfig(), payload_cols=()).select(
+        "id_a", "id_b"
+    )
+    truth = (
+        pages.alias("a")
+        .join(pages.alias("b"), F.col("a.entity_id") == F.col("b.entity_id"))
+        .where(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("id_a"), F.col("b.url").alias("id_b"))
+    )
+    missed = truth.join(cands, ["id_a", "id_b"], "left_anti").count()
+    assert missed == 0
+
+
+def test_pairwise_f1(spark, pages):
+    """BASELINE.json headline: F1 >= 0.99 on labeled pairs at shared
+    blocking keys."""
+    gold = labeled_pairs(pages, max_pairs_per_block=400)
+    payload = pages.select("url", "text")
+    pairs = (
+        gold.join(payload.withColumnsRenamed({"url": "url_a", "text": "text_a"}), "url_a")
+        .join(payload.withColumnsRenamed({"url": "url_b", "text": "text_b"}), "url_b")
+    )
+    # the gold label column and the scored verdict share the name
+    # "is_match" — score on payload-only columns, then join verdicts back
+    # to the gold labels.
+    scored = score_pairs(pairs.drop("is_match"), ScoringConfig())
+    pred = scored.select("url_a", "url_b", F.col("is_match").alias("pred"))
+    joined = gold.join(pred, ["url_a", "url_b"])
+    agg2 = joined.agg(
+        F.sum((F.col("pred") & F.col("is_match")).cast("long")).alias("tp"),
+        F.sum((F.col("pred") & ~F.col("is_match")).cast("long")).alias("fp"),
+        F.sum((~F.col("pred") & F.col("is_match")).cast("long")).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = agg2["tp"] or 0, agg2["fp"] or 0, agg2["fn"] or 0
+    assert tp > 0
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, f"F1={f1:.4f} precision={precision:.4f} recall={recall:.4f}"
+
+
+def test_connected_components_vs_networkx(spark):
+    import networkx as nx
+    import random
+
+    rng = random.Random(99)
+    edges = []
+    for _ in range(300):
+        a, b = rng.randint(0, 120), rng.randint(0, 120)
+        if a != b:
+            edges.append((f"n{a:03d}", f"n{b:03d}"))
+    # include a long chain (worst case for naive propagation)
+    edges += [(f"c{i:03d}", f"c{i+1:03d}") for i in range(40)]
+
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    want = {}
+    for comp in nx.connected_components(g):
+        root = min(comp)
+        for n in comp:
+            want[n] = root
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+def test_closure_resume(spark, tmp_path):
+    """Kill after round 1 (simulated via max_iter=1 -> RuntimeError),
+    resume from the checkpoint, and assert the final labels equal a
+    clean uninterrupted run — plus lineage metrics exist per round."""
+    edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(60)]  # needs >1 round
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    clean = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(spark, ckpt_dir)
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iter=1, checkpoint=mgr)
+    assert mgr.latest() is not None and mgr.latest()[0] == 1
+
+    resumed_mgr = CheckpointManager(spark, ckpt_dir)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, checkpoint=resumed_mgr).collect()
+    }
+    assert got == clean
+
+    lineage = resumed_mgr.lineage()
+    assert lineage is not None
+    iters = {r["iteration"] for r in lineage.select("iteration").distinct().collect()}
+    assert 1 in iters and len(iters) >= 2
+    assert lineage.agg(F.sum("row_count")).collect()[0][0] > 0
+
+
+def test_link_end_to_end(spark, pages):
+    res = link(pages)
+    # every url labeled exactly once
+    assert res.clusters.count() == pages.count()
+    assert res.clusters.select("url").distinct().count() == pages.count()
+    # cluster quality vs ground truth: pairwise F1 over same-cluster pairs
+    truth = pages.select("url", "entity_id")
+    joined = res.clusters.join(truth, "url")
+    a = joined.select(F.col("url").alias("ua"), F.col("entity").alias("ea"),
+                      F.col("entity_id").alias("ta"))
+    b = joined.select(F.col("url").alias("ub"), F.col("entity").alias("eb"),
+                      F.col("entity_id").alias("tb"))
+    pairs = a.crossJoin(b).where(F.col("ua") < F.col("ub"))
+    agg = pairs.agg(
+        F.sum(((F.col("ea") == F.col("eb")) & (F.col("ta") == F.col("tb"))).cast("long")).alias("tp"),
+        F.sum(((F.col("ea") == F.col("eb")) & (F.col("ta") != F.col("tb"))).cast("long")).alias("fp"),
+        F.sum(((F.col("ea") != F.col("eb")) & (F.col("ta") == F.col("tb"))).cast("long")).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = agg["tp"], agg["fp"], agg["fn"]
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.95, f"cluster F1={f1:.4f} (p={precision:.4f} r={recall:.4f})"
