@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the reconciliation core on sf0.001;
+``queries()`` maps every implemented operator from SURVEY.md §2 onto the
+driver testdata tables; ``oracle_sql()`` provides the DuckDB-equivalent
+SQL for each (omitted only for xxhash64/blake2b/indel-UDF-based
+operators, which have no SQL equivalent — those get rows-only checks).
 """
 
 from __future__ import annotations
@@ -13,26 +13,74 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_reconciliation_spark.plans import driver_queries as dq
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reconciliation core
+    (full-outer join + field rules + exception melt) on deterministic
+    orders snapshots."""
+    return dq.q_reconcile_exceptions(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # joins / presence decomposition (J1-J3, P6)
+        "j1_full_outer_merge": dq.q_j1_full_outer_merge,
+        "j2_deleted_records": dq.q_j2_deleted_records,
+        "j3_added_records": dq.q_j3_added_records,
+        # reconciliation core (F1/F3/F5, R1/R2, A1/A2, X2/X3/X4)
+        "reconcile_exceptions": dq.q_reconcile_exceptions,
+        "a1_match_metrics": dq.q_a1_match_metrics,
+        "f3_tolerance_with_coercion": dq.q_f3_tolerance_with_coercion,
+        # fuzzy compare, SQL-checkable variant (F2/X9)
+        "f2_levenshtein_pairs": dq.q_f2_levenshtein_pairs,
+        # filters / set ops (P7)
+        "p7_rejected_filter": dq.q_p7_rejected_filter,
+        # aggregations (A7, A8, A9)
+        "a7_history_summary": dq.q_a7_history_summary,
+        "a8_uniqueness_profile": dq.q_a8_uniqueness_profile,
+        "a9_dedup_gate_24h": dq.q_a9_dedup_gate_24h,
+        # sorts / limits (O1-O5)
+        "o1_history_ordered": dq.q_o1_history_ordered,
+        "o4_top2_by_distinct": dq.q_o4_top2_by_distinct,
+        # dedup suite
+        "dedup_exact": dq.q_dedup_exact,
+        "dedup_ngram_jaccard": dq.q_dedup_ngram_jaccard,
+        # text analysis
+        "text_stats": dq.q_text_stats,
+        "lang_id": dq.q_lang_id,
+        # similarity search
+        "ann_cosine_topk": dq.q_ann_cosine_topk,
+        # transitive clustering (C)
+        "cluster_chain_components": dq.q_cluster_chain_components,
+        # rows-only (no SQL equivalent: xxhash64 / blake2b / indel UDF)
+        "minhash_lsh_pairs": dq.q_minhash_lsh_pairs,
+        "simhash_pairs": dq.q_simhash_pairs,
+        "indel_ratio_pairs": dq.q_indel_ratio_pairs,
+        "er_link_clusters": dq.q_er_link_clusters,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "j1_full_outer_merge": dq.SQL_J1,
+        "j2_deleted_records": dq.SQL_J2,
+        "j3_added_records": dq.SQL_J3,
+        "reconcile_exceptions": dq.SQL_RECONCILE_EXC,
+        "a1_match_metrics": dq.SQL_A1,
+        "f3_tolerance_with_coercion": dq.SQL_F3,
+        "f2_levenshtein_pairs": dq.SQL_F2,
+        "p7_rejected_filter": dq.SQL_P7,
+        "a7_history_summary": dq.SQL_A7,
+        "a8_uniqueness_profile": dq.SQL_A8,
+        "a9_dedup_gate_24h": dq.SQL_A9,
+        "o1_history_ordered": dq.SQL_O1,
+        "o4_top2_by_distinct": dq.SQL_O4,
+        "dedup_exact": dq.SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": dq.SQL_DEDUP_NGRAM,
+        "text_stats": dq.SQL_TEXT_STATS,
+        "lang_id": dq.SQL_LANG_ID,
+        "ann_cosine_topk": dq.SQL_ANN,
+        "cluster_chain_components": dq.SQL_CLUSTER_CHAIN,
+    }

@@ -119,7 +119,11 @@ class BlockingConfig:
     use_minhash_bands: bool = True
     salt_hot_keys: bool = True    # salted repartition for hot hosts
     hot_key_threshold: int = 10_000   # rows per block before salting kicks in
-    max_block_size: int | None = 50_000  # per-block candidate cap (skew guard)
+    # Blocks above this member count are excluded from pairwise candidate
+    # generation (a 500-member block is already 125k pairs).  Content-based
+    # MinHash bands retain recall inside oversized host blocks — a hot host
+    # with millions of pages is a useless *blocking* signal anyway.
+    max_block_size: int | None = 500
 
     @property
     def rows_per_band(self) -> int:
@@ -139,3 +143,15 @@ class ScoringConfig:
     simhash_max_hamming: int = 8
     # verdict = weighted vote; a pair is a match when score >= match_threshold
     match_threshold: float = 0.5
+    # cascade prefilter: the expensive Arrow UDF (Jaro-Winkler + indel
+    # ratio) runs only on pairs with at least this much cheap native
+    # evidence.  MUST be <= the verdict thresholds above so skipping is
+    # semantics-preserving (a skipped pair can never be a match).
+    prefilter_jaccard: float = 0.30
+    prefilter_hamming: int = 16
+
+    def __post_init__(self) -> None:
+        if self.prefilter_jaccard > self.token_jaccard_threshold:
+            raise ValueError("prefilter_jaccard must be <= token_jaccard_threshold")
+        if self.prefilter_hamming < self.simhash_max_hamming:
+            raise ValueError("prefilter_hamming must be >= simhash_max_hamming")

@@ -91,19 +91,24 @@ def with_blocking_keys(pages: DataFrame, cfg: BlockingConfig | None = None) -> D
     """Add ``block_keys: array<string>`` (host key + LSH band keys)."""
     cfg = cfg or BlockingConfig()
     keys = []
-    if cfg.use_host_key:
-        keys.append(F.array(F.concat(F.lit("host:"), normalized_host("url"))))
     if cfg.use_minhash_bands:
-        sig = minhash_signature(
-            token_shingles("text", cfg.shingle_size), cfg.num_hashes
+        # materialize the signature as its own projection FIRST: band_keys
+        # slices it once per band, and HOF lambdas re-evaluate inlined
+        # subexpressions per element (a 16x fold blow-up measured at
+        # bands=16 when the aggregate is inlined).
+        pages = pages.withColumn(
+            "__minhash_sig",
+            minhash_signature(token_shingles("text", cfg.shingle_size), cfg.num_hashes),
         )
-        keys.append(band_keys(sig, cfg.bands, cfg.rows_per_band))
+        keys.append(band_keys(F.col("__minhash_sig"), cfg.bands, cfg.rows_per_band))
+    if cfg.use_host_key:
+        keys.insert(0, F.array(F.concat(F.lit("host:"), normalized_host("url"))))
     if not keys:
         raise ValueError("at least one blocking strategy must be enabled")
     combined = keys[0]
     for k in keys[1:]:
         combined = F.concat(combined, k)
-    return pages.withColumn("block_keys", combined)
+    return pages.withColumn("block_keys", combined).drop("__minhash_sig")
 
 
 def exploded_blocks(pages_with_keys: DataFrame, id_col: str = "url") -> DataFrame:
@@ -144,6 +149,17 @@ def candidate_pairs(
     cfg = cfg or BlockingConfig()
     keyed = with_blocking_keys(pages, cfg)
     blocks = exploded_blocks(keyed, id_col)
+
+    # Materialize the block table: it is consumed three times (size
+    # histogram + both sides of the self-join), and the MinHash key
+    # expression must not be re-evaluated per consumer.  (Interpreted HOF
+    # expressions also re-evaluate referenced sub-expressions per array
+    # element, so keeping this lazy multiplies the upstream plan cost.)
+    # At warehouse scale this persist becomes an explicit intermediate
+    # table write; same dataflow.
+    from pyspark.storagelevel import StorageLevel
+
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Skew guard: per-key counts; drop degenerate giant blocks from the
     # self-join (broadcast the small hot-key list back).

@@ -124,11 +124,22 @@ def minhash_lsh_pairs(
     only shuffles are the band-key self-join and the pair dedup groupBy.
     """
     cfg = cfg or BlockingConfig()
-    sig = minhash_signature(token_shingles(F.col(text_col), cfg.shingle_size), cfg.num_hashes)
-    keyed = docs.select(
+    # signature materialized as its own projection so band_keys slices a
+    # computed array instead of re-running the fold per band (see
+    # blocking.with_blocking_keys).
+    sig = docs.select(
         F.col(id_col),
         F.col(text_col),
-        F.explode(band_keys(sig, cfg.bands, cfg.rows_per_band)).alias("band_key"),
+        minhash_signature(
+            token_shingles(F.col(text_col), cfg.shingle_size), cfg.num_hashes
+        ).alias("__sig"),
+    )
+    keyed = sig.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(band_keys(F.col("__sig"), cfg.bands, cfg.rows_per_band)).alias(
+            "band_key"
+        ),
     )
     a = keyed.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"), "band_key")
     b = keyed.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"), "band_key")

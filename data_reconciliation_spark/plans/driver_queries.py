@@ -205,7 +205,7 @@ exc AS (
                OR (op IS NOT NULL AND np IS NOT NULL AND abs(op - np) > 0.01)
                THEN 1 ELSE 0 END)
     + SUM(CASE WHEN od IS DISTINCT FROM nd THEN 1 ELSE 0 END)
-    + SUM(CASE WHEN opr IS DISTINCT FROM npr THEN 1 ELSE 0 END) AS field_exceptions,
+    + SUM(CASE WHEN opr IS DISTINCT FROM npr THEN 1 ELSE 0 END) AS field_exceptions_raw,
     COUNT(*) AS n_both
   FROM b)
 SELECT
@@ -214,8 +214,8 @@ SELECT
    WHERE n.o_orderkey IS NULL) AS n_old_only,
   (SELECT COUNT(*) FROM n LEFT JOIN o USING (o_orderkey)
    WHERE o.o_orderkey IS NULL) AS n_new_only,
-  field_exceptions,
-  round(100.0 * (n_both * 5 - field_exceptions) / (n_both * 5), 2) AS match_pct
+  CAST(field_exceptions_raw AS BIGINT) AS field_exceptions,
+  round(100.0 * (n_both * 5 - field_exceptions_raw) / (n_both * 5), 2) AS match_pct
 FROM exc
 """
 
@@ -275,7 +275,8 @@ def q_f3_tolerance_with_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("q_new"),
     )
-    to, tn = F.try_cast("q_old", "double"), F.try_cast("q_new", "double")
+    to = F.col("q_old").try_cast("double")
+    tn = F.col("q_new").try_cast("double")
     mismatch = F.when(to.isNull() | tn.isNull(), F.lit(True)).otherwise(
         F.abs(to - tn) > 1.0
     )
@@ -333,7 +334,7 @@ def q_a7_history_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_A7 = """
 SELECT user_id, round(avg(value), 4) AS avg_value, COUNT(*) AS n_events,
-       SUM(CASE WHEN value >= 95.0 THEN 1 ELSE 0 END) AS good_events
+       CAST(SUM(CASE WHEN value >= 95.0 THEN 1 ELSE 0 END) AS BIGINT) AS good_events
 FROM events GROUP BY user_id
 """
 
@@ -346,7 +347,7 @@ def q_a8_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_A8 = """
 SELECT * FROM (
-  SELECT 'c_custkey' AS column, COUNT(DISTINCT c_custkey) AS distinct_count,
+  SELECT 'c_custkey' AS "column", COUNT(DISTINCT c_custkey) AS distinct_count,
          COUNT(*) AS row_count,
          COUNT(DISTINCT c_custkey) = COUNT(*) AS is_unique FROM customer
   UNION ALL
@@ -378,7 +379,7 @@ def q_a9_dedup_gate_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("prev_ts", prev_ts)
         .where(
             F.col("prev_ts").isNull()
-            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 86400)
+            | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 24 HOURS"))
         )
         .select("event_id", "user_id", "event_type")
     )
@@ -390,7 +391,7 @@ SELECT event_id, user_id, event_type FROM (
          lag(ts) OVER (PARTITION BY user_id, event_type
                        ORDER BY ts, event_id) AS prev_ts
   FROM events)
-WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 86400
+WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 24 HOURS
 """
 
 
@@ -420,8 +421,8 @@ def q_o4_top2_by_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_O4 = f"""
-SELECT column, distinct_count FROM ({SQL_A8})
-ORDER BY distinct_count DESC, column LIMIT 2
+SELECT "column", distinct_count FROM ({SQL_A8})
+ORDER BY distinct_count DESC, "column" LIMIT 2
 """
 
 

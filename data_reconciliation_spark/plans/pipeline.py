@@ -38,7 +38,14 @@ def link(
     it feeds both the match-edge extraction and downstream metrics; the
     closure loop itself checkpoints per round when a manager is given.
     """
-    scored = block_score_pipeline(pages, blocking_cfg, scoring_cfg)
+    from pyspark.storagelevel import StorageLevel
+
+    # scored pairs feed (a) the match-edge extraction consumed by every
+    # closure round and (b) downstream metrics/consumers — materialize
+    # once (at warehouse scale: written as the candidate-pair table).
+    scored = block_score_pipeline(pages, blocking_cfg, scoring_cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     matches = scored.where(F.col("is_match")).select("url_a", "url_b", "score")
 
     components = connected_components(

@@ -68,12 +68,19 @@ def test_blocking_recall(pages):
 def test_pairwise_f1(spark, pages):
     """BASELINE.json headline: F1 >= 0.99 on labeled pairs at shared
     blocking keys."""
+    from data_reconciliation_spark.operators.scoring import prepare_pages
+
     gold = labeled_pairs(pages, max_pairs_per_block=400)
-    payload = pages.select("url", "text")
-    pairs = (
-        gold.join(payload.withColumnsRenamed({"url": "url_a", "text": "text_a"}), "url_a")
-        .join(payload.withColumnsRenamed({"url": "url_b", "text": "text_b"}), "url_b")
+    prep = prepare_pages(pages)
+    pa = prep.select(
+        F.col("url").alias("url_a"), F.col("canon_url").alias("canon_url_a"),
+        F.col("norm_text").alias("norm_text_a"), F.col("simhash").alias("simhash_a"),
     )
+    pb = prep.select(
+        F.col("url").alias("url_b"), F.col("canon_url").alias("canon_url_b"),
+        F.col("norm_text").alias("norm_text_b"), F.col("simhash").alias("simhash_b"),
+    )
+    pairs = gold.join(pa, "url_a").join(pb, "url_b")
     # the gold label column and the scored verdict share the name
     # "is_match" — score on payload-only columns, then join verdicts back
     # to the gold labels.
