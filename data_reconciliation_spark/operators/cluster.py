@@ -89,15 +89,19 @@ def connected_components(
             start_iter, e = resumed
 
     e = e.localCheckpoint()
+    n_prev = e.count()
     for it in range(start_iter, max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint()
-        # exact convergence: any edge changed in either direction?
-        changed = (
-            new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
-        )
+        # exact convergence: both sets are distinct, so equal counts plus
+        # an empty one-sided difference proves set equality (one exceptAll
+        # instead of two).
+        n_new = new_e.count()
+        changed = 1
+        if n_new == n_prev:
+            changed = new_e.exceptAll(e).limit(1).count()
         if checkpoint is not None:
             checkpoint.save(it + 1, new_e)
-        e = new_e
+        e, n_prev = new_e, n_new
         if changed == 0:
             break
     else:

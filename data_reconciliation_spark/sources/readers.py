@@ -33,6 +33,7 @@ def read_csv_with_fallback(
     failures on a 1-row probe, mirroring the reference's try/except chain
     without reading the whole file twice."""
     last_err: Exception | None = None
+    df = None
     for enc in _ENCODING_CHAIN:
         try:
             df = (
@@ -42,10 +43,22 @@ def read_csv_with_fallback(
                 .option("mode", "FAILFAST")
                 .csv(path)
             )
-            df.limit(1).collect()  # probe: force a decode attempt
-            return df
-        except Exception as e:  # decode/parse failure -> next encoding
+            # Spark's CSV reader substitutes U+FFFD for undecodable bytes
+            # rather than raising, so probe a few rows for replacement
+            # characters (the decode-failure signal the reference's
+            # try/except chain reacts to).
+            probe = df.limit(20).collect()
+            mojibake = any(
+                isinstance(v, str) and "�" in v
+                for row in probe
+                for v in row
+            )
+            if not mojibake:
+                return df
+        except Exception as e:  # parse failure -> next encoding
             last_err = e
+    if df is not None:
+        return df  # every encoding showed replacement chars; best effort
     raise last_err  # type: ignore[misc]
 
 

@@ -1,0 +1,115 @@
+"""Tests for the Structured Streaming operators and batch readers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_reconciliation_spark.sources.readers import (
+    file_type_allowed,
+    preview_columns,
+    read_csv_with_fallback,
+    same_system_gate,
+    validate_file_structure,
+)
+from data_reconciliation_spark.streaming.incremental import (
+    incremental_exception_stream,
+    windowed_event_dedup,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_windowed_event_dedup_stream(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    rows = [
+        (1, _ts(0), 1, "click", 1.0),
+        (2, _ts(1), 1, "click", 2.0),   # dup key within watermark
+        (3, _ts(2), 2, "click", 3.0),   # different user
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(src)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    deduped = windowed_event_dedup(stream, ["user_id", "event_type"], "ts", "24 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"] for r in spark.sql("select * from dedup_out").collect()}
+    # one event per (user, type) within the watermark window
+    assert len(got) == 2 and 3 in got and (1 in got or 2 in got)
+
+
+def test_incremental_exception_stream(spark, tmp_path):
+    src = str(tmp_path / "new_src")
+    baseline = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        "id long, name string, amount double",
+    )
+    new_rows = [
+        (1, _ts(0), "alice", 10.005),   # within tolerance
+        (2, _ts(1), "robert", 20.0),    # name mismatch
+        (3, _ts(2), "carol", 31.0),     # amount exceeds tolerance
+    ]
+    spark.createDataFrame(
+        new_rows, "id long, ts timestamp, name string, amount double"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "id long, ts timestamp, name string, amount double"
+    ).parquet(src)
+    exc = incremental_exception_stream(
+        stream,
+        baseline,
+        ["id"],
+        {"fields": {"amount": {"type": "decimal", "tolerance": 0.01}}},
+    )
+    q = (
+        exc.writeStream.format("memory")
+        .queryName("exc_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["id"], r["field"]) for r in spark.sql("select * from exc_out").collect()}
+    assert got == {(2, "name"), (3, "amount")}
+
+
+def test_readers_and_validators(spark, tmp_path):
+    assert file_type_allowed("data.csv") and not file_type_allowed("evil.exe")
+    assert same_system_gate("sales_2024.csv", "sales-old.xlsx")
+    assert not same_system_gate("sales_2024.csv", "inventory_2024.csv")
+
+    # latin-1 csv exercises the encoding fallback chain
+    p = tmp_path / "latin.csv"
+    p.write_bytes("id,name\n1,caf\xe9\n2,na\xefve\n".encode("latin-1"))
+    df = read_csv_with_fallback(spark, str(p))
+    names = {r["name"] for r in df.collect()}
+    assert "café" in names or "caf\xe9" in names
+
+    cols, preview = preview_columns(df, max_rows=1)
+    assert cols == ["id", "name"] and len(preview) == 1
+
+    assert validate_file_structure(df) == []
+    empty = spark.createDataFrame([], "a int")
+    assert any("rows" in p for p in validate_file_structure(empty))
