@@ -159,6 +159,12 @@ def candidate_pairs(
     # table write; same dataflow.
     from pyspark.storagelevel import StorageLevel
 
+    if cfg.salt_hot_keys:
+        # spread hot blocking keys across salt_buckets shuffle keys before
+        # materialization so no single partition owns a hot host (AQE can
+        # split skewed SMJ partitions later, but balanced storage +
+        # balanced map tasks need the salt at write time).
+        blocks = salted_repartition(blocks, "block_key", salt_buckets=16, id_col=id_col)
     blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Skew guard: per-key counts; drop degenerate giant blocks from the

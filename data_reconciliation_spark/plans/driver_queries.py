@@ -659,3 +659,109 @@ def q_er_link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = generate_pages(spark, n_rows=400, n_entities=100, seed=42)
     return link(pages).clusters
+
+# ---------------------------------------------------------------------------
+# X5/X6/X7: multi-format date parse, datediff, change-summary formatting
+# ---------------------------------------------------------------------------
+
+def q_x5_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date strings in three configured formats (mapping.yaml:35-39),
+    parsed back via first-successful multi-format coalesce."""
+    from data_reconciliation_spark.functions.summary import parse_date_multi
+
+    orders = read_table(spark, sf_dir, "orders")
+    s = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "dd MMM yyyy"))
+        .otherwise(F.date_format("o_orderdate", "yyyy/MM/dd"))
+    )
+    df = orders.select("o_orderkey", s.alias("date_str"))
+    return df.select(
+        "o_orderkey", "date_str", parse_date_multi("date_str").alias("parsed_date")
+    )
+
+
+SQL_X5 = """
+WITH s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+              WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%d %b %Y')
+              ELSE strftime(o_orderdate, '%Y/%m/%d') END AS date_str
+  FROM orders)
+SELECT o_orderkey, date_str,
+       CAST(COALESCE(try_strptime(date_str, '%Y-%m-%d'),
+                     try_strptime(date_str, '%d %b %Y'),
+                     try_strptime(date_str, '%Y/%m/%d')) AS DATE) AS parsed_date
+FROM s
+"""
+
+
+def q_x7_change_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference exception_builder.py summary strings over deterministic
+    old/new value pairs: numeric delta+pct, date shift, text truncation,
+    and null add/remove branches."""
+    from data_reconciliation_spark.functions.summary import exception_summary
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("num_old"),
+        (F.col("o_totalprice") + (F.col("o_orderkey") % 7).cast("double") * 1.5).alias(
+            "num_new"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_old"),
+        F.date_format(
+            F.date_add("o_orderdate", (F.col("o_orderkey") % 5 - 2).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("date_new"),
+        F.col("o_orderpriority").alias("txt_old"),
+        # every 4th row: long text (truncation branch); every 9th: null
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("o_orderkey") % 4 == 0,
+            F.concat(F.col("o_orderpriority"), F.lit(" with a very long suffix attached")),
+        )
+        .otherwise(F.concat(F.col("o_orderpriority"), F.lit("!")))
+        .alias("txt_new"),
+    )
+    return base.select(
+        "o_orderkey",
+        exception_summary("num_old", "num_new", "decimal").alias("num_summary"),
+        exception_summary("date_old", "date_new", "date").alias("date_summary"),
+        exception_summary("txt_old", "txt_new", None).alias("txt_summary"),
+    )
+
+
+SQL_X7 = """
+WITH base AS (
+  SELECT o_orderkey,
+         o_totalprice AS num_old,
+         o_totalprice + (o_orderkey % 7) * 1.5 AS num_new,
+         CAST(o_orderdate AS DATE) AS d_old,
+         CAST(o_orderdate AS DATE) + CAST((o_orderkey % 5 - 2) AS INTEGER) AS d_new,
+         o_orderpriority AS txt_old,
+         CASE WHEN o_orderkey % 9 = 0 THEN NULL
+              WHEN o_orderkey % 4 = 0
+                THEN o_orderpriority || ' with a very long suffix attached'
+              ELSE o_orderpriority || '!' END AS txt_new
+  FROM orders)
+SELECT o_orderkey,
+  CASE WHEN num_old <> 0
+       THEN printf('changed by %+.2f (%+.2f%%)', num_new - num_old,
+                   (num_new - num_old) / num_old * 100.0)
+       ELSE printf('changed by %+.2f', num_new - num_old) END AS num_summary,
+  CASE datediff('day', d_old, d_new)
+       WHEN 0 THEN 'same date, time changed'
+       WHEN 1 THEN 'shifted by 1 day'
+       WHEN -1 THEN 'shifted by -1 day'
+       ELSE printf('shifted by %+d days', datediff('day', d_old, d_new)) END
+    AS date_summary,
+  CASE WHEN txt_new IS NULL THEN printf('removed: %s', txt_old)
+       ELSE printf('from ''%s'' to ''%s''',
+              CASE WHEN length(txt_old) > 30
+                   THEN substr(txt_old, 1, 30) || '...' ELSE txt_old END,
+              CASE WHEN length(txt_new) > 30
+                   THEN substr(txt_new, 1, 30) || '...' ELSE txt_new END)
+  END AS txt_summary
+FROM base
+"""
