@@ -108,6 +108,15 @@ def extract_title_from_html(html: Column | str) -> Column:
     return F.regexp_extract(F.decode(html, "UTF-8"), _TITLE_RE, 1)
 
 
+def prepare_snapshot(df: DataFrame, fields: dict[str, FieldRule]) -> DataFrame:
+    """Load-time ETL composition in reference order (``etl.py:29-61``):
+    canonicalize column names (P1) -> config renames (P2) -> string
+    cleaning (P3).  All metadata/expression-level — zero extra jobs."""
+    df = canonicalize_columns(df)
+    df = apply_renames(df, fields)
+    return apply_cleaning(df, fields)
+
+
 def normalize_pages(df: DataFrame, use_html_extraction: bool = False) -> DataFrame:
     """Add the engine's derived columns to a raw page table:
     ``norm_host``, ``canon_url``, ``norm_text`` (and re-extracted

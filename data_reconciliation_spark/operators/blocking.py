@@ -119,7 +119,11 @@ def exploded_blocks(pages_with_keys: DataFrame, id_col: str = "url") -> DataFram
 
 
 def salted_repartition(
-    df: DataFrame, key_col: str, salt_buckets: int = 16, id_col: str = "url"
+    df: DataFrame,
+    key_col: str,
+    salt_buckets: int = 16,
+    id_col: str = "url",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Spread hot logical keys over ``salt_buckets`` shuffle keys.
 
@@ -127,9 +131,18 @@ def salted_repartition(
     pathological case — one blocking key ≫ a partition — needs the key
     itself salted; the salt is deterministic in the row id so re-runs
     and resumes see identical placement.
+
+    The partition count is pinned explicitly: a bare
+    ``repartition(cols...)`` exchange is AQE-coalescible and collapses a
+    small-but-about-to-explode dataset back into few partitions,
+    defeating the salt.
     """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
-    return df.repartition(F.col(key_col), salt)
+    return df.repartition(num_partitions, F.col(key_col), salt)
 
 
 def candidate_pairs(

@@ -88,20 +88,32 @@ def connected_components(
         if resumed is not None:
             start_iter, e = resumed
 
+    def _fingerprint(df: DataFrame):
+        # cheap order-insensitive digest: (count, sum of 47-bit-masked
+        # xxhash64) — mask keeps the ANSI-mode sum far from overflow.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("src", "dst").bitwiseAND(F.lit((1 << 47) - 1))
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
     e = e.localCheckpoint()
-    n_prev = e.count()
+    fp_prev = _fingerprint(e)
     for it in range(start_iter, max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint()
-        # exact convergence: both sets are distinct, so equal counts plus
-        # an empty one-sided difference proves set equality (one exceptAll
-        # instead of two).
-        n_new = new_e.count()
+        # convergence: cheap fingerprint gate, then an exact one-sided
+        # exceptAll to CONFIRM equality (both sets are distinct, so equal
+        # count + empty difference proves set equality).  The exact check
+        # runs only at the candidate fixpoint, not every round.
+        fp_new = _fingerprint(new_e)
         changed = 1
-        if n_new == n_prev:
+        if fp_new == fp_prev:
             changed = new_e.exceptAll(e).limit(1).count()
         if checkpoint is not None:
             checkpoint.save(it + 1, new_e)
-        e, n_prev = new_e, n_new
+        e, fp_prev = new_e, fp_new
         if changed == 0:
             break
     else:

@@ -226,3 +226,46 @@ def dedup_rank(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: random-hyperplane LSH bucketing +
+    exact cosine verify inside buckets (the ANN self-join variant of
+    similarity_search.lsh_bucketed_topk).
+
+    Near-identical vectors share every hyperplane sign, so they always
+    share a bucket; the verify step keeps only pairs with cosine >=
+    threshold.  Shuffle = one equi-join on the bucket key.
+    """
+    from data_reconciliation_spark.operators.similarity_search import (
+        _hyperplane_bits,
+        cosine_sim,
+    )
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    b = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _hyperplane_bits(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    lhs = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    rhs = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        lhs.join(rhs, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -48,6 +48,22 @@ def link(
     )
     matches = scored.where(F.col("is_match")).select("url_a", "url_b", "score")
 
+    if checkpoint is not None:
+        # per-partition row-count lineage for the scoring stage (north
+        # rule: lineage + metrics per partition, not just per run).
+        metrics = (
+            scored.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.sum(F.col("is_match").cast("long")).alias("match_count"),
+            )
+            .select("partition_id", "row_count", "match_count")
+            .withColumn("iteration", F.lit(0))
+            .withColumn("stage", F.lit("scoring"))
+            .withColumn("saved_at", F.current_timestamp())
+        )
+        metrics.write.mode("append").parquet(checkpoint._lineage_dir)
+
     components = connected_components(
         matches, src="url_a", dst="url_b", max_iter=max_iter, checkpoint=checkpoint
     )

@@ -65,6 +65,7 @@ class CheckpointManager:
             self.spark.read.parquet(path)
             .groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("row_count"))
+            .withColumn("match_count", F.lit(None).cast("long"))
             .withColumn("iteration", F.lit(iteration))
             .withColumn("stage", F.lit(stage))
             .withColumn("saved_at", F.current_timestamp())
@@ -91,7 +92,9 @@ class CheckpointManager:
 
     def lineage(self) -> DataFrame | None:
         try:
-            return self.spark.read.parquet(self._lineage_dir)
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                self._lineage_dir
+            )
         except Exception:
             return None
 
