@@ -38,6 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filters / set ops (P7)
         "p7_rejected_filter": dq.q_p7_rejected_filter,
         # aggregations (A7, A8, A9)
+        "a3_distinct_systems": dq.q_a3_distinct_systems,
+        "a4_distinct_pks_per_system": dq.q_a4_distinct_pks_per_system,
         "a7_history_summary": dq.q_a7_history_summary,
         "a8_uniqueness_profile": dq.q_a8_uniqueness_profile,
         "a9_dedup_gate_24h": dq.q_a9_dedup_gate_24h,
@@ -75,6 +77,8 @@ def oracle_sql() -> dict[str, str]:
         "f3_tolerance_with_coercion": dq.SQL_F3,
         "f2_levenshtein_pairs": dq.SQL_F2,
         "p7_rejected_filter": dq.SQL_P7,
+        "a3_distinct_systems": dq.SQL_A3,
+        "a4_distinct_pks_per_system": dq.SQL_A4,
         "a7_history_summary": dq.SQL_A7,
         "a8_uniqueness_profile": dq.SQL_A8,
         "a9_dedup_gate_24h": dq.SQL_A9,

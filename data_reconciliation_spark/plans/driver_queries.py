@@ -586,10 +586,6 @@ def q_cluster_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_reconciliation_spark.operators.cluster import connected_components
 
     ev = read_table(spark, sf_dir, "events").select("event_id")
-    edges = ev.where(F.col("event_id") % 20 != 0).select(
-        F.col("event_id").cast("string").alias("src"),
-        F.format_string("%d", F.col("event_id") - 1).alias("dst"),
-    )
     # string node ids sort lexicographically; zero-pad for numeric order
     edges = ev.where(F.col("event_id") % 20 != 0).select(
         F.format_string("n%09d", F.col("event_id")).alias("src"),
@@ -764,4 +760,37 @@ SELECT o_orderkey,
                    THEN substr(txt_new, 1, 30) || '...' ELSE txt_new END)
   END AS txt_summary
 FROM base
+"""
+
+# ---------------------------------------------------------------------------
+# A3/A4: distinct-value aggregates
+# ---------------------------------------------------------------------------
+
+def q_a3_distinct_systems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (app.py:144-145): SELECT DISTINCT over the dataset-family
+    columns."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("lang", "source").distinct()
+
+
+SQL_A3 = "SELECT DISTINCT lang, source FROM documents"
+
+
+def q_a4_distinct_pks_per_system(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (app.py:163-168): the set of keys used per system — expressed
+    as a sorted distinct list so both engines agree on ordering."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+SQL_A4 = """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
 """
