@@ -48,6 +48,39 @@ def _is_nullish(col: Column, dtype: T.DataType) -> Column:
     return col.isNull()
 
 
+_TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
+_NUMERIC = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def _exact_inequality(
+    old: Column, new: Column, dtype_old: T.DataType, dtype_new: T.DataType
+) -> Column:
+    if type(dtype_old) is type(dtype_new):
+        return old != new
+    o_temporal, n_temporal = isinstance(dtype_old, _TEMPORAL), isinstance(
+        dtype_new, _TEMPORAL
+    )
+    o_string, n_string = isinstance(dtype_old, T.StringType), isinstance(
+        dtype_new, T.StringType
+    )
+    o_numeric, n_numeric = isinstance(dtype_old, _NUMERIC), isinstance(
+        dtype_new, _NUMERIC
+    )
+    if (o_temporal and n_string) or (o_string and n_temporal):
+        return old.cast("string") != new.cast("string")
+    if (o_numeric and n_string) or (o_string and n_numeric):
+        return F.lit(True)  # Python cross-type inequality (callers gate nulls)
+    return old != new  # same family (e.g. int vs double): Catalyst coercion
+
+
 def _mismatch_expr(
     old: Column,
     new: Column,
@@ -82,8 +115,16 @@ def _mismatch_expr(
             F.abs(to - tn) > F.lit(float(rule.tolerance))
         )
     else:
-        # F1 (compare.py:326-350): exact inequality.
-        value_pred = old != new
+        # F1 (compare.py:326-350): exact inequality.  The reference
+        # compares raw pandas cell values (Python semantics); when the two
+        # snapshots loaded the same column as different types, replicate
+        # that instead of letting ANSI Catalyst insert a throwing cast:
+        #   temporal vs string  -> both sides were strings in pandas CSV
+        #                          land: compare stringified (ISO form)
+        #   numeric vs string   -> Python `'1' != 1` is always True:
+        #                          mismatch whenever both are non-null
+        #   numeric vs numeric  -> Catalyst numeric coercion == Python
+        value_pred = _exact_inequality(old, new, dtype_old, dtype_new)
 
     return (
         F.when(both_null, F.lit(False))
