@@ -156,9 +156,17 @@ class AuditStore:
             "num_exceptions long, primary_key_used string",
         )
         header.write.mode("append").parquet(self._table("runs"))
-        exceptions.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
-            self._table("exceptions")
+        # deterministic per-run exception index (the reference's implicit
+        # list position, app.py:403) so the rejection loop can reference
+        # individual exceptions stably.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(F.lit(1)).orderBy(
+            *[F.col(c).cast("string") for c in exceptions.columns]
         )
+        exceptions.withColumn("run_id", F.lit(run_id)).withColumn(
+            "exc_idx", F.row_number().over(w) - 1
+        ).write.mode("append").parquet(self._table("exceptions"))
         return run_id
 
     def read_runs(self) -> DataFrame | None:
@@ -173,6 +181,62 @@ class AuditStore:
         except Exception:
             return None
         return df.where(F.col("run_id") == run_id) if run_id else df
+
+    # --- rejection loop (reference app.py:302-475) ------------------------
+
+    def reject_exceptions(self, run_id: str, exc_indices: list[int]) -> None:
+        """Human review: mark exceptions as accepted-as-OK.  Append-only
+        marker rows in a side table (the reference overloads its
+        exceptions table with name='REJECTED_EXCEPTION' rows,
+        app.py:302-344; a separate table keeps the schema clean while
+        preserving the anti-join read pattern)."""
+        df = self.spark.createDataFrame(
+            [(run_id, int(i)) for i in exc_indices], "run_id string, exc_idx long"
+        )
+        df.write.mode("append").parquet(self._table("rejections"))
+
+    def _rejected(self, run_id: str) -> DataFrame | None:
+        try:
+            df = self.spark.read.parquet(self._table("rejections"))
+        except Exception:
+            return None
+        return df.where(F.col("run_id") == run_id).select("exc_idx").distinct()
+
+    def filtered_exceptions(self, run_id: str) -> DataFrame | None:
+        """Exceptions minus rejected ones (anti-join; reference
+        app.py:428-475)."""
+        exc = self.read_exceptions(run_id)
+        if exc is None:
+            return None
+        rejected = self._rejected(run_id)
+        if rejected is None:
+            return exc
+        return exc.join(F.broadcast(rejected), "exc_idx", "left_anti")
+
+    def recalculate_match_rate(self, run_id: str) -> dict | None:
+        """A6 (reference app.py:374-425): recompute the rate from
+        exception counts after rejection.  Reproduces the reference's
+        formula verbatim — ``(total - remaining) / total * 100`` with
+        remaining = non-rejected count — including its quirk of being a
+        different definition than compare.py's match_pct (SURVEY §3.3)."""
+        exc = self.read_exceptions(run_id)
+        if exc is None:
+            return None
+        total = exc.count()
+        rejected = self._rejected(run_id)
+        n_rejected = 0 if rejected is None else exc.join(
+            F.broadcast(rejected), "exc_idx", "left_semi"
+        ).count()
+        remaining = total - n_rejected
+        new_rate = (
+            round((total - remaining) / total * 100, 2) if total > 0 else 100.0
+        )
+        return {
+            "original_exceptions": total,
+            "rejected_exceptions": n_rejected,
+            "remaining_exceptions": remaining,
+            "new_match_rate": new_rate,
+        }
 
     def history(self, system_name: str, pk: str | None = None) -> DataFrame | None:
         """Reference GET /history analog (models.py:96-103): filter by

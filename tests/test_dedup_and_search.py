@@ -236,3 +236,29 @@ def test_audit_store_dedup_gate(spark, tmp_path):
     assert len(hist) == 2
     assert hist[0]["date"] <= hist[1]["date"]
     assert store.read_exceptions(rid1).count() == 1
+
+
+def test_rejection_loop(spark, tmp_path):
+    """Reference app.py:302-475 rejection loop: reject -> filtered view ->
+    recalculated rate with the reference's exact (quirky) formula."""
+    store = AuditStore(spark, str(tmp_path / "audit_rej"))
+    exc = spark.createDataFrame(
+        [(1, "f1", "a", "b"), (2, "f1", "c", "d"), (3, "f2", "e", "g"), (4, "f2", "h", "i")],
+        "id long, field string, old string, new string",
+    )
+    rid = store.save_run("sysR", 90.0, exc, "id")
+    assert rid is not None
+
+    store.reject_exceptions(rid, [0, 2])
+    filtered = store.filtered_exceptions(rid)
+    assert filtered.count() == 2
+    assert {r["exc_idx"] for r in filtered.collect()} == {1, 3}
+
+    stats = store.recalculate_match_rate(rid)
+    # reference formula: (total - remaining)/total*100 = (4-2)/4*100
+    assert stats == {
+        "original_exceptions": 4,
+        "rejected_exceptions": 2,
+        "remaining_exceptions": 2,
+        "new_match_rate": 50.0,
+    }
