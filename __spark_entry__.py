@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sorts / limits (O1-O5)
         "o1_history_ordered": dq.q_o1_history_ordered,
         "o4_top2_by_distinct": dq.q_o4_top2_by_distinct,
+        # temporal joins (engine extensions)
+        "asof_join": dq.q_asof_join,
+        "range_join_pairs": dq.q_range_join_pairs,
         # scalar functions (X5/X6/X7)
         "x5_multiformat_dates": dq.q_x5_multiformat_dates,
         "x7_change_summaries": dq.q_x7_change_summaries,
@@ -84,6 +87,8 @@ def oracle_sql() -> dict[str, str]:
         "a9_dedup_gate_24h": dq.SQL_A9,
         "o1_history_ordered": dq.SQL_O1,
         "o4_top2_by_distinct": dq.SQL_O4,
+        "asof_join": dq.SQL_ASOF,
+        "range_join_pairs": dq.SQL_RANGE,
         "x5_multiformat_dates": dq.SQL_X5,
         "x7_change_summaries": dq.SQL_X7,
         "dedup_exact": dq.SQL_DEDUP_EXACT,

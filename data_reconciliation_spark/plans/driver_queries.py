@@ -794,3 +794,63 @@ SELECT user_id,
        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
 FROM events GROUP BY user_id
 """
+
+# ---------------------------------------------------------------------------
+# Temporal joins (engine extensions): as-of + bucketed range join
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event, the most recent signup of the same user at
+    or before it (pd.merge_asof semantics == DuckDB ASOF LEFT JOIN)."""
+    from data_reconciliation_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        errors, signups, ts_col="ts", by=["user_id"], right_payload=["value"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "ts_right",
+        F.round("value_right", 4).alias("signup_value"),
+    )
+
+
+SQL_ASOF = """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_right,
+       round(r.value, 4) AS signup_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: number of (error, signup) pairs with the error within
+    1h after the signup — bucketed range join (equi-join on time bucket
+    + exact filter), never an O(n^2) theta join."""
+    from data_reconciliation_spark.operators.temporal import bucketed_range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "ts")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    pairs = bucketed_range_join(
+        errors, signups, key="user_id", ts_col="ts", window_seconds=3600
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# unix_timestamp truncates to whole seconds; floor(epoch(...)) mirrors it.
+SQL_RANGE = """
+SELECT l.user_id, COUNT(*) AS n_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') l
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id
+ AND floor(epoch(l.ts)) - floor(epoch(r.ts)) >= 0
+ AND floor(epoch(l.ts)) - floor(epoch(r.ts)) <= 3600
+GROUP BY l.user_id
+"""
