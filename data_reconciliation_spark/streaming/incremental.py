@@ -96,3 +96,76 @@ def incremental_exception_stream(
         F.col(ts_col),
         F.explode(F.filter(structs, lambda x: x.isNotNull())).alias("e"),
     ).select(*pk_cols, ts_col, "e.field", "e.old", "e.new")
+
+
+def sessionize_events(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (SURVEY.md §2.10 engine extension; the
+    reference has no streaming at all).
+
+    Emits one row per CLOSED session: (key, session_start, session_end,
+    n_events).  A session closes when no event arrives within
+    ``gap_seconds`` (decided by the event-time watermark, so late data
+    inside the watermark still extends its session).  State per key is a
+    compact (start, end, count) triple — bounded, spillable to the state
+    store, and timed out via ``GroupStateTimeout.EventTimeTimeout``.
+    """
+    import datetime as _dt
+
+    import pandas as _pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+    state_schema = "start long, end long, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        closed = []
+        if state.hasTimedOut:
+            start, end, n = state.get
+            closed.append((key[0], start, end, n))
+            state.remove()
+        else:
+            rows = _pd.concat(list(pdfs), ignore_index=True)
+            ts = rows[ts_col].astype("datetime64[us]").astype("int64") // 1_000_000
+            lo, hi, cnt = int(ts.min()), int(ts.max()), len(ts)
+            if state.exists:
+                start, end, n = state.get
+                if lo - end > gap_seconds:
+                    closed.append((key[0], start, end, n))
+                    start, end, n = lo, hi, cnt
+                else:
+                    start, end, n = start, max(end, hi), n + cnt
+            else:
+                start, end, n = lo, hi, cnt
+            state.update((start, end, n))
+            state.setTimeoutTimestamp((end + gap_seconds) * 1000)
+        for k, s, e, n in closed:
+            yield _pd.DataFrame(
+                {
+                    key_col: [k],
+                    "session_start": [_dt.datetime.utcfromtimestamp(s)],
+                    "session_end": [_dt.datetime.utcfromtimestamp(e)],
+                    "n_events": [n],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

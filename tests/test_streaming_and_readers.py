@@ -113,3 +113,39 @@ def test_readers_and_validators(spark, tmp_path):
     assert validate_file_structure(df) == []
     empty = spark.createDataFrame([], "a int")
     assert any("rows" in p for p in validate_file_structure(empty))
+
+
+def test_sessionize_events_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: two micro-batches; the
+    first session closes by gap, the last by end-of-stream timeout once
+    the watermark advances past it."""
+    src = str(tmp_path / "sess_src")
+    # batch 1: user 1 events at 00:00, 00:10 (one session);
+    # then a 2h gap; batch 2: event at 02:30 (new session) and a late
+    # high-watermark event from user 2 at 06:00 that pushes the
+    # watermark far enough to time out user 1's second session.
+    b1 = [(1, _ts(0, 0), 1, "click", 1.0), (2, _ts(0, 10), 1, "click", 1.0)]
+    b2 = [(3, _ts(2, 30), 1, "click", 1.0), (4, _ts(6, 0), 2, "click", 1.0)]
+    spark.createDataFrame(b1, EVENT_SCHEMA).write.parquet(src + "/d1")
+    spark.createDataFrame(b2, EVENT_SCHEMA).write.parquet(src + "/d2")
+
+    from data_reconciliation_spark.streaming.incremental import sessionize_events
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/*")
+    sessions = sessionize_events(stream, gap_seconds=1800, watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour, r["n_events"])
+        for r in spark.sql("select * from sessions_out").collect()
+    }
+    # user 1's first session (00:00-00:10, 2 events) must have closed
+    assert (1, 0, 2) in got
