@@ -115,3 +115,25 @@ def same_system_gate(filename_a: str, filename_b: str) -> bool:
         return stem.strip().lower()
 
     return system_of(filename_a) == system_of(filename_b)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on the join key.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle (no Exchange in the plan) — the co-location
+    strategy for repeated big-big joins, e.g. the page table and its
+    scored-pair table keyed by url hash.  Requires a session with a
+    warehouse dir (``saveAsTable``; plain files cannot carry bucket
+    metadata)."""
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)

@@ -149,3 +149,39 @@ def test_sessionize_events_stateful(spark, tmp_path):
     }
     # user 1's first session (00:00-00:10, 2 events) must have closed
     assert (1, 0, 2) in got
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Both sides bucketed on the join key => join plan contains no
+    Exchange (co-located join)."""
+    import contextlib
+    import io
+
+    import shutil
+
+    from data_reconciliation_spark.sources.readers import write_bucketed_table
+
+    for t in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    a = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed_table(a, "bkt_a", "k", num_buckets=8, sort_col="k")
+    write_bucketed_table(b, "bkt_b", "k", num_buckets=8, sort_col="k")
+
+    # force sort-merge (tiny tables would otherwise broadcast, which
+    # proves nothing about co-location)
+    joined = spark.table("bkt_a").hint("merge").join(spark.table("bkt_b"), "k")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan, plan
+    # bucketed-by-key on both sides: no shuffle exchange anywhere
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert joined.count() == 1000
