@@ -134,13 +134,17 @@ def minhash_lsh_pairs(
             token_shingles(F.col(text_col), cfg.shingle_size), cfg.num_hashes
         ).alias("__sig"),
     )
+    from pyspark.storagelevel import StorageLevel
+
     keyed = sig.select(
         F.col(id_col),
         F.col(text_col),
         F.explode(band_keys(F.col("__sig"), cfg.bands, cfg.rows_per_band)).alias(
             "band_key"
         ),
-    )
+        # materialized once: both self-join sides consume it, and the
+        # signature fold must not run twice per document
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = keyed.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"), "band_key")
     b = keyed.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"), "band_key")
     pairs = (
@@ -177,9 +181,13 @@ def simhash_pairs(
         raise ValueError("n_chunks must divide 64")
     bits = 64 // n_chunks
     mask = (1 << bits) - 1
+    from pyspark.storagelevel import StorageLevel
+
+    # persist: the chunk table feeds both self-join sides; the per-doc
+    # SimHash UDF must run exactly once per document
     sig = docs.select(
         F.col(id_col), simhash64_udf(normalized_text(F.col(text_col))).alias("simhash")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sig.select(
         id_col,
         "simhash",

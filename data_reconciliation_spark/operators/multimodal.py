@@ -128,3 +128,45 @@ def size_bucketed(media: DataFrame, n_buckets: int = 32) -> DataFrame:
         F.xxhash64("media_id") + F.floor(F.log2(F.length("payload") + 2)), F.lit(n_buckets)
     )
     return media.repartition(n_buckets, bucket)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Image-resize contract: one output row per image row with the
+    target dimensions and a payload placeholder.
+
+    The pixel resample itself is STUBBED (no image codec in this
+    container): payloads pass through unchanged with the new dims
+    recorded, and a deterministic content checksum is computed so the
+    pipeline downstream of resize is fully exercisable.  The Spark-side
+    contract (schema, Arrow batching, partition behavior) is real.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("checksum", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"],
+                    "checksum": [
+                        zlib.crc32(p) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(run, out_schema)

@@ -482,6 +482,7 @@ WHERE len(list_intersect(a.g, b.g))::DOUBLE /
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_reconciliation_spark.functions.text import (
+        bpe_ish_token_count,
         punct_ratio,
         whitespace_token_count,
     )
@@ -490,6 +491,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         whitespace_token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_actual"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
     )
@@ -500,6 +502,7 @@ SELECT doc_id,
        CASE WHEN length(regexp_replace(trim(text), '\s+', ' ', 'g')) = 0 THEN 0
             ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
        END AS n_tokens,
+       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])')) AS n_bpe_tokens,
        length(text) AS n_chars_actual,
        round(CASE WHEN length(text) = 0 THEN 0.0
              ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE

@@ -262,3 +262,19 @@ def test_rejection_loop(spark, tmp_path):
         "remaining_exceptions": 2,
         "new_match_rate": 50.0,
     }
+
+
+def test_resize_images_contract(spark):
+    from data_reconciliation_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [(0, "image", b"abc", "image/png", 640, 480, None),
+         (1, "video", b"xyz", "video/mp4", 64, 48, 1000)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = resize_images(media, 224, 224).collect()
+    assert len(out) == 1  # only the image row
+    assert (out[0]["width"], out[0]["height"]) == (224, 224)
+    import zlib
+    assert out[0]["checksum"] == zlib.crc32(b"abc")
