@@ -124,6 +124,11 @@ class BlockingConfig:
     # MinHash bands retain recall inside oversized host blocks — a hot host
     # with millions of pages is a useless *blocking* signal anyway.
     max_block_size: int | None = 500
+    # Shuffle 8-byte xxhash ids through the block self-join instead of
+    # raw id strings (the widest exchange of the pipeline); real ids are
+    # joined back from a compact mapping afterwards.  Hash collisions can
+    # only add candidates (verified by scoring), never drop true pairs.
+    dictionary_ids: bool = True
 
     @property
     def rows_per_band(self) -> int:

@@ -163,6 +163,20 @@ def candidate_pairs(
     keyed = with_blocking_keys(pages, cfg)
     blocks = exploded_blocks(keyed, id_col)
 
+    # Dictionary-encode both the row id and the block key to 8-byte
+    # hashes for the wide shuffle (a url string is ~50 bytes; the block
+    # table is the single largest exchange in the pipeline).  Hash
+    # collisions can only ADD candidate pairs (verified downstream by
+    # scoring) or merge two blocks — never lose a true pair beyond the
+    # band-probability already accepted.  Final outputs carry real ids
+    # (joined back from the compact mapping table).
+    if cfg.dictionary_ids:
+        uid = F.xxhash64(F.col(id_col))
+        mapping = pages.select(uid.alias("__uid"), F.col(id_col)).distinct()
+        blocks = blocks.select(
+            F.xxhash64("block_key").alias("block_key"), uid.alias(id_col)
+        )
+
     # Materialize the block table: it is consumed three times (size
     # histogram + both sides of the self-join), and the MinHash key
     # expression must not be re-evaluated per consumer.  (Interpreted HOF
@@ -195,6 +209,25 @@ def candidate_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.min("block_key").alias("block_key"))
     )
+    if cfg.dictionary_ids:
+        # map compact uids back to real ids and re-orient so
+        # id_a < id_b holds on the REAL id domain (the dedup ordering
+        # above was on hashes).
+        ma = mapping.select(
+            F.col("__uid").alias("id_a"), F.col(id_col).alias("__ra")
+        )
+        mb = mapping.select(
+            F.col("__uid").alias("id_b"), F.col(id_col).alias("__rb")
+        )
+        pairs = (
+            pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("__ra", "__rb").alias("id_a"),
+                F.greatest("__ra", "__rb").alias("id_b"),
+                "block_key",
+            )
+        )
     if payload_cols:
         pa = pages.select(
             F.col(id_col).alias("id_a"),
