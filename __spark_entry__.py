@@ -62,9 +62,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": dq.q_ann_cosine_topk,
         # transitive clustering (C)
         "cluster_chain_components": dq.q_cluster_chain_components,
-        # rows-only (no SQL equivalent: xxhash64 / blake2b / indel UDF)
+        # LSH dedup, oracle-checked configs (guaranteed-recall settings)
         "minhash_lsh_pairs": dq.q_minhash_lsh_pairs,
         "simhash_pairs": dq.q_simhash_pairs,
+        # rows-only (no SQL equivalent: blake2b / indel kernels)
         "indel_ratio_pairs": dq.q_indel_ratio_pairs,
         "er_link_clusters": dq.q_er_link_clusters,
     }
@@ -97,4 +98,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": dq.SQL_LANG_ID,
         "ann_cosine_topk": dq.SQL_ANN,
         "cluster_chain_components": dq.SQL_CLUSTER_CHAIN,
+        "minhash_lsh_pairs": dq.SQL_MINHASH,
+        "simhash_pairs": dq.SQL_SIMHASH,
     }

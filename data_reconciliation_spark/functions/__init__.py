@@ -9,6 +9,7 @@ from data_reconciliation_spark.functions.similarity import (  # noqa: F401
     indel_ratio_py,
     jaro_winkler_py,
     simhash64_py,
-    pair_features_udf,
+    simhash64_native,
+    simhash64_md5_py,
     indel_ratio_udf,
 )

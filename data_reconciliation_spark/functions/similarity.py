@@ -33,8 +33,8 @@ __all__ = [
     "indel_ratio_udf",
     "jaro_winkler_udf",
     "simhash64_udf",
-    "pair_features_udf",
-    "PAIR_FEATURES_TYPE",
+    "simhash64_native",
+    "simhash64_md5_py",
 ]
 
 
@@ -226,46 +226,95 @@ def simhash64_udf(s: pd.Series) -> pd.Series:
     )
 
 
-PAIR_FEATURES_TYPE = T.StructType(
-    [
-        T.StructField("url_jw", T.DoubleType(), True),
-        T.StructField("text_ratio", T.DoubleType(), True),
-        T.StructField("token_jaccard", T.DoubleType(), True),
-        T.StructField("simhash_hamming", T.IntegerType(), True),
-    ]
-)
+# ---------------------------------------------------------------------------
+# Native (JVM-side) SimHash — md5-nibble hash, zero Python, and exactly
+# reproducible in ANSI SQL (DuckDB), so the driver's oracle can verify it.
+# ---------------------------------------------------------------------------
+
+def simhash64_md5_py(s: str | None) -> int | None:
+    """Pure-Python oracle for :func:`simhash64_native` (NOT the blake2b
+    :func:`simhash64_py`): tokens are space-split (empties kept, matching
+    ``F.split(s, ' ')``), each token's 64-bit hash is the first 16 hex
+    nibbles of its md5, bit j of the signature is the sign of the sum of
+    bit j over tokens.  Returns signed int64."""
+    if s is None:
+        return None
+    toks = s.split(" ")
+    acc = [0] * 64
+    for tok in toks:
+        hx = hashlib.md5(tok.encode("utf-8")).hexdigest()[:16]
+        for i, ch in enumerate(hx):  # nibble i -> bits 4i..4i+3, MSB first
+            v = int(ch, 16)
+            for k in range(4):
+                acc[4 * i + k] += 1 if (v >> (3 - k)) & 1 else -1
+    out = 0
+    for j in range(64):
+        if acc[j] > 0:
+            out |= 1 << (63 - j)
+    if out >= 1 << 63:
+        out -= 1 << 64
+    return out
 
 
-@pandas_udf(PAIR_FEATURES_TYPE)
-def pair_features_udf(
-    url_a: pd.Series, url_b: pd.Series, text_a: pd.Series, text_b: pd.Series
-) -> pd.DataFrame:
-    """One Arrow batch -> all four pair features.
+def simhash64_native(text: "F.Column | str") -> "F.Column":
+    """64-bit SimHash as pure Catalyst expressions (no UDF).
 
-    A single struct-returning UDF transfers each candidate pair over Arrow
-    once instead of four times — the scoring stage is map-only (no
-    shuffle), so this is the entire Python cost of the pipeline.
+    Token hash = first 16 hex nibbles of md5(token); the per-bit sum is a
+    single ``aggregate`` fold over the token array (one md5 per token,
+    materialized before the fold so interpreted HOF evaluation never
+    recomputes it per bit).  Deterministic across engines: DuckDB
+    reproduces the identical value from ``md5()`` + integer arithmetic,
+    which is what makes ``simhash_pairs`` driver-oracle-checkable.
+
+    Returned as signed int64: bit j (j=0 is the md5 MSB nibble's top bit)
+    lands at position 63-j, with the sign bit handled by subtraction so
+    no long-literal overflows.
     """
-    n = len(url_a)
-    jw = np.empty(n, dtype=object)
-    ratio = np.empty(n, dtype=object)
-    jac = np.empty(n, dtype=object)
-    ham = np.empty(n, dtype=object)
-    for i in range(n):
-        ua, ub, ta, tb = url_a.iat[i], url_b.iat[i], text_a.iat[i], text_b.iat[i]
-        jw[i] = jaro_winkler_py(ua, ub)
-        ratio[i] = indel_ratio_py(ta, tb)
-        jac[i] = token_jaccard_py(ta, tb)
-        ham[i] = hamming64_py(simhash64_py(ta), simhash64_py(tb))
-    return pd.DataFrame(
-        {
-            "url_jw": pd.array(jw, dtype="float64"),
-            "text_ratio": pd.array(ratio, dtype="float64"),
-            "token_jaccard": pd.array(jac, dtype="float64"),
-            "simhash_hamming": pd.array(ham, dtype="Int32"),
-        },
-        index=url_a.index,
+    text = F.col(text) if isinstance(text, str) else text
+    toks = F.split(text, " ")
+    # one md5 per token, then 64 bits per token as array<int>
+    bit_arrays = F.transform(
+        toks,
+        lambda t: F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: _nibble_bits(F.substr(F.md5(t), i, F.lit(1))),
+            )
+        ),
     )
+    zeros = F.array_repeat(F.lit(0), 64)
+    acc = F.aggregate(
+        bit_arrays,
+        zeros,
+        lambda a, bits: F.zip_with(a, bits, lambda x, b: x + b * 2 - 1),
+    )
+    return acc
+
+
+def _nibble_bits(hex_char):
+    """array<int> of the 4 bits (MSB first) of one hex character."""
+    v = F.conv(hex_char, 16, 10).cast("int")
+    return F.array(
+        *[F.shiftright(v, k).bitwiseAND(F.lit(1)) for k in (3, 2, 1, 0)]
+    )
+
+
+def simhash_sign_to_long(acc: "F.Column") -> "F.Column":
+    """Fold a 64-long bit-sum array (as produced by
+    :func:`simhash64_native`) into the signed int64 signature.  Must be
+    applied in a SEPARATE projection from the fold (64 element_at
+    references; Catalyst's CollapseProject keeps non-cheap expressions
+    un-inlined, but don't rely on it across one select)."""
+    pos = None
+    for j in range(1, 64):
+        term = F.when(F.element_at(acc, j + 1) > 0, F.lit(1 << (63 - j))).otherwise(
+            F.lit(0).cast("long")
+        )
+        pos = term if pos is None else pos + term
+    sign = F.when(
+        F.element_at(acc, 1) > 0, F.lit(-9223372036854775808)
+    ).otherwise(F.lit(0).cast("long"))
+    return pos + sign
 
 
 # ---------------------------------------------------------------------------

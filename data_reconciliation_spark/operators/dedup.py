@@ -129,35 +129,62 @@ def minhash_lsh_pairs(
     # blocking.with_blocking_keys).
     sig = docs.select(
         F.col(id_col),
-        F.col(text_col),
         minhash_signature(
             token_shingles(F.col(text_col), cfg.shingle_size), cfg.num_hashes
         ).alias("__sig"),
     )
     from pyspark.storagelevel import StorageLevel
 
-    keyed = sig.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.explode(band_keys(F.col("__sig"), cfg.bands, cfg.rows_per_band)).alias(
-            "band_key"
-        ),
+    # The band explosion (bands x rows) is the widest shuffle in the
+    # operator: it carries ONLY (8-byte band hash, id) — never the text.
+    # Text is re-joined from ``docs`` for the verify stage, which sees
+    # just the (much smaller) deduplicated candidate-pair set.
+    keyed = (
+        sig.select(
+            F.col(id_col),
+            F.explode(band_keys(F.col("__sig"), cfg.bands, cfg.rows_per_band)).alias(
+                "__bk"
+            ),
+        )
+        .select(F.col(id_col), F.xxhash64("__bk").alias("band_key"))
         # materialized once: both self-join sides consume it, and the
         # signature fold must not run twice per document
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = keyed.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"), "band_key")
-    b = keyed.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"), "band_key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Hot-bucket guard (same pattern as blocking.candidate_pairs): a
+    # degenerate band key (e.g. every near-empty doc sharing one band)
+    # would be an unguarded O(n^2) self-join partition.  Oversized
+    # buckets are dropped from pairwise generation; the doc's other
+    # bands retain recall.
+    if cfg.max_block_size is not None:
+        hot = (
+            keyed.groupBy("band_key")
+            .count()
+            .where(F.col("count") > cfg.max_block_size)
+            .select("band_key")
+        )
+        keyed = keyed.join(F.broadcast(hot), "band_key", "left_anti")
+    a = keyed.select("band_key", F.col(id_col).alias("id_a"))
+    b = keyed.select("band_key", F.col(id_col).alias("id_b"))
     pairs = (
         a.join(b, "band_key")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("text_a").alias("text_a"), F.first("text_b").alias("text_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
     if verify_threshold is not None:
-        pairs = pairs.withColumn(
-            "jaccard", native_token_jaccard(F.col("text_a"), F.col("text_b"))
-        ).where(F.col("jaccard") >= verify_threshold)
-    return pairs.select("id_a", "id_b", *( ["jaccard"] if verify_threshold is not None else [] ))
+        ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+        tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+        pairs = (
+            pairs.join(ta, "id_a")
+            .join(tb, "id_b")
+            .withColumn(
+                "jaccard", native_token_jaccard(F.col("text_a"), F.col("text_b"))
+            )
+            .where(F.col("jaccard") >= verify_threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    return pairs
 
 
 def simhash_pairs(
@@ -166,6 +193,8 @@ def simhash_pairs(
     n_chunks: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
+    use_native: bool = True,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit signature, blocked on 64/n_chunks-bit
     chunks.
@@ -176,6 +205,19 @@ def simhash_pairs(
     chunks widen the distance guarantee but coarsen the buckets (more
     candidates); ``max_hamming`` must be < ``n_chunks`` for guaranteed
     recall.
+
+    ``use_native`` (default): signatures via :func:`simhash64_native` —
+    pure Catalyst md5-nibble SimHash, zero Python, and reproducible in
+    DuckDB SQL so the driver oracle verifies the full pair set exactly
+    (recall is guaranteed by pigeonhole, so output == all pairs with
+    hamming <= max_hamming).  ``use_native=False`` keeps the blake2b
+    Arrow-UDF signature for parity with :func:`simhash64_py`.
+
+    ``max_bucket_size`` guards degenerate buckets (e.g. thousands of
+    near-empty docs all hashing to signature 0): oversized
+    (chunk_idx, chunk) buckets are excluded from the pairwise self-join —
+    the O(n²) guard; a pair inside a dropped bucket is still found via
+    any other chunk the two signatures agree on.
     """
     if 64 % n_chunks:
         raise ValueError("n_chunks must divide 64")
@@ -184,10 +226,25 @@ def simhash_pairs(
     from pyspark.storagelevel import StorageLevel
 
     # persist: the chunk table feeds both self-join sides; the per-doc
-    # SimHash UDF must run exactly once per document
-    sig = docs.select(
-        F.col(id_col), simhash64_udf(normalized_text(F.col(text_col))).alias("simhash")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # SimHash signature must be computed exactly once per document
+    if use_native:
+        from data_reconciliation_spark.functions.similarity import (
+            simhash64_native,
+            simhash_sign_to_long,
+        )
+
+        acc = docs.select(
+            F.col(id_col),
+            simhash64_native(normalized_text(F.col(text_col))).alias("__acc"),
+        )
+        sig = acc.select(
+            F.col(id_col), simhash_sign_to_long(F.col("__acc")).alias("simhash")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sig = docs.select(
+            F.col(id_col),
+            simhash64_udf(normalized_text(F.col(text_col))).alias("simhash"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sig.select(
         id_col,
         "simhash",
@@ -203,6 +260,14 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_idx", "c.chunk")
+    if max_bucket_size is not None:
+        hot = (
+            chunks.groupBy("chunk_idx", "chunk")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select("chunk_idx", "chunk")
+        )
+        chunks = chunks.join(F.broadcast(hot), ["chunk_idx", "chunk"], "left_anti")
     a = chunks.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk_idx", "chunk"
     )

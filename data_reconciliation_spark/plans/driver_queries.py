@@ -612,14 +612,42 @@ FROM nodes
 
 
 # ---------------------------------------------------------------------------
-# Rows-only queries (no SQL oracle: xxhash64 / blake2b / indel UDF)
+# MinHash-LSH / SimHash dedup — fully oracle-checked configurations.
+#
+# LSH output is provably equal to a brute-force SQL oracle exactly when
+# recall is guaranteed, so the driver queries pin those configs:
+#  * minhash: shingle_size=1 + verify_threshold=1.0 — identical token
+#    sets => identical signatures => collide on every band; the verify
+#    filter then keeps exactly the token-set-equal pairs, which DuckDB
+#    recomputes directly.  (Probabilistic-recall thresholds are covered
+#    by pytest with a brute-force Jaccard oracle.)
+#  * simhash: native md5-nibble signature (simhash64_native) + pigeonhole
+#    recall (max_hamming < n_chunks) — output == ALL pairs with hamming
+#    <= max_hamming, and DuckDB reproduces the signature bit-for-bit from
+#    md5() + integer arithmetic.
 # ---------------------------------------------------------------------------
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_reconciliation_spark.config import BlockingConfig
     from data_reconciliation_spark.operators.dedup import minhash_lsh_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, verify_threshold=0.6)
+    return minhash_lsh_pairs(
+        docs, cfg=BlockingConfig(shingle_size=1), verify_threshold=1.0
+    )
+
+
+SQL_MINHASH = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+         )) AS tokset
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard
+FROM norm a JOIN norm b ON a.tokset = b.tokset AND a.doc_id < b.doc_id
+"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,6 +655,44 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=6, n_chunks=8)
+
+
+# brute-force oracle: md5-nibble SimHash per doc (identical arithmetic to
+# simhash64_native), then every pair with bit_count(xor) <= 6 — valid
+# because 8 chunks guarantee recall for any hamming <= 7 by pigeonhole.
+SQL_SIMHASH = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
+),
+bits AS (
+  SELECT doc_id, j.j AS j,
+         SUM(CASE WHEN (((('0x' || substr(md5(tok), (j.j // 4) + 1, 1))::INT)
+                         >> (3 - (j.j % 4))) & 1) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks, range(64) j(j)
+  GROUP BY doc_id, j.j
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN j > 0 AND s > 0 THEN (1::BIGINT << (63 - j))
+                  WHEN j = 0 AND s > 0 THEN -9223372036854775808
+                  ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle: blake2b / indel kernels)
+# ---------------------------------------------------------------------------
 
 
 def q_indel_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

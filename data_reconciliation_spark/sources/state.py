@@ -26,6 +26,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def dense_sorted_index(
+    df: DataFrame, idx_name: str = "exc_idx", num_partitions: int | None = None
+) -> DataFrame:
+    """Add a dense 0..n-1 index ordered by the stringified row columns —
+    WITHOUT a single-partition global sort.
+
+    Classic scalable zipWithIndex-by-sort: range-repartition on the sort
+    key, per-partition ``row_number`` (each window partition is one range
+    partition, so the sort work stays balanced across tasks), then add
+    broadcast per-partition offsets (one tiny driver-side cumulative sum
+    over <= num_partitions counts).  At 10^9 exceptions this is N
+    balanced sorts instead of one task sorting everything.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sort_cols = [F.col(c).cast("string") for c in df.columns]
+    parted = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        # persisted: the range boundaries are sampled, so the count job
+        # and the index job must see the SAME partitioning
+        .persist()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    if not offsets:
+        return df.withColumn(idx_name, F.lit(0).cast("long")).limit(0)
+    offs = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    out = (
+        parted.withColumn("__rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(idx_name, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+    return out
+
+
 class CheckpointManager:
     """Iteration-checkpoint store with atomic manifest commits.
 
@@ -158,14 +205,11 @@ class AuditStore:
         header.write.mode("append").parquet(self._table("runs"))
         # deterministic per-run exception index (the reference's implicit
         # list position, app.py:403) so the rejection loop can reference
-        # individual exceptions stably.
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy(F.lit(1)).orderBy(
-            *[F.col(c).cast("string") for c in exceptions.columns]
-        )
-        exceptions.withColumn("run_id", F.lit(run_id)).withColumn(
-            "exc_idx", F.row_number().over(w) - 1
+        # individual exceptions stably.  dense_sorted_index assigns the
+        # content-ordered 0..n-1 index with balanced range partitions —
+        # no Window.partitionBy(lit(1)) single-task global sort.
+        dense_sorted_index(exceptions, "exc_idx").withColumn(
+            "run_id", F.lit(run_id)
         ).write.mode("append").parquet(self._table("exceptions"))
         return run_id
 

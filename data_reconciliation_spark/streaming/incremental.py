@@ -128,6 +128,13 @@ def sessionize_events(
     state_schema = "start long, end long, n long"
 
     def fn(key, pdfs, state: GroupState):
+        # Robust to out-of-order micro-batches: events are sorted and
+        # gap-split *within* the batch, the stored session summary is
+        # merged as one more interval, and the timeout is never set at or
+        # below the current watermark (that raises
+        # INVALID_TIMEOUT_TIMESTAMP and kills the query) — if the
+        # watermark already passed end+gap the session closes immediately.
+        wm_ms = state.getCurrentWatermarkMs()
         closed = []
         if state.hasTimedOut:
             start, end, n = state.get
@@ -135,19 +142,44 @@ def sessionize_events(
             state.remove()
         else:
             rows = _pd.concat(list(pdfs), ignore_index=True)
-            ts = rows[ts_col].astype("datetime64[us]").astype("int64") // 1_000_000
-            lo, hi, cnt = int(ts.min()), int(ts.max()), len(ts)
-            if state.exists:
-                start, end, n = state.get
-                if lo - end > gap_seconds:
-                    closed.append((key[0], start, end, n))
-                    start, end, n = lo, hi, cnt
+            ts = sorted(
+                int(t)
+                for t in rows[ts_col].astype("datetime64[us]").astype("int64")
+                // 1_000_000
+            )
+            intervals: list[list[int]] = []
+            for t in ts:
+                if intervals and t - intervals[-1][1] <= gap_seconds:
+                    intervals[-1][1] = t
+                    intervals[-1][2] += 1
                 else:
-                    start, end, n = start, max(end, hi), n + cnt
-            else:
-                start, end, n = lo, hi, cnt
-            state.update((start, end, n))
-            state.setTimeoutTimestamp((end + gap_seconds) * 1000)
+                    intervals.append([t, t, 1])
+            if state.exists:
+                intervals.append([*state.get])
+                intervals.sort(key=lambda iv: iv[0])
+            sessions: list[list[int]] = []
+            for iv in intervals:
+                if sessions and iv[0] - sessions[-1][1] <= gap_seconds:
+                    sessions[-1][1] = max(sessions[-1][1], iv[1])
+                    sessions[-1][2] += iv[2]
+                else:
+                    sessions.append(iv)
+            # every session but the last is closed by construction: a
+            # later event already proved its gap
+            for s, e, n in sessions[:-1]:
+                closed.append((key[0], s, e, n))
+            if sessions:
+                s, e, n = sessions[-1]
+                timeout_ms = (e + gap_seconds) * 1000
+                if timeout_ms <= wm_ms:
+                    closed.append((key[0], s, e, n))
+                    if state.exists:
+                        state.remove()
+                else:
+                    state.update((s, e, n))
+                    state.setTimeoutTimestamp(timeout_ms)
+            elif state.exists:
+                state.remove()
         for k, s, e, n in closed:
             yield _pd.DataFrame(
                 {

@@ -82,15 +82,67 @@ def test_minhash_lsh_pairs(docs):
 
 
 def test_simhash_pairs(docs):
-    # doc0 vs doc2 have Hamming distance 5 -> 8 chunks guarantee recall
-    # for any distance <= 7 by pigeonhole.
+    # Native md5-nibble SimHash: 8 chunks guarantee recall for any
+    # distance <= 7 by pigeonhole, so the output must equal the
+    # brute-force pair set computed from the pure-Python oracle.
+    from data_reconciliation_spark.functions.similarity import (
+        hamming64_py,
+        simhash64_md5_py,
+    )
+
+    rows = docs.collect()
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.strip())
+
+    sigs = {r["doc_id"]: simhash64_md5_py(norm(r["text"])) for r in rows}
+    ids = sorted(sigs)
+    want = {
+        (a, b): hamming64_py(sigs[a], sigs[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if hamming64_py(sigs[a], sigs[b]) <= 6
+    }
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in simhash_pairs(docs, max_hamming=6, n_chunks=8).collect()
     }
+    assert got == want
+    assert got.get((0, 1)) == 0 and (0, 3) not in got
+
+
+def test_simhash_pairs_blake2b_variant(docs):
+    # the Arrow-UDF blake2b signature path (parity with simhash64_py)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            docs, max_hamming=6, n_chunks=8, use_native=False
+        ).collect()
+    }
     assert got.get((0, 1)) == 0
     assert got.get((0, 2)) == 5
     assert (0, 3) not in got
+
+
+def test_lsh_hot_bucket_guards(spark):
+    """Degenerate corpora (thousands of identical near-empty docs) must
+    not explode into O(n^2) pair generation: the hot-bucket guards drop
+    oversized buckets from the self-joins entirely."""
+    from data_reconciliation_spark.config import BlockingConfig
+
+    n = 5000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("").alias("text")
+    )
+    # every doc hashes to the same bands / simhash 0 -> one n^2 bucket
+    # without the guard (25M pairs); with it, zero pairs and fast.
+    mh = minhash_lsh_pairs(
+        docs, cfg=BlockingConfig(shingle_size=1), verify_threshold=1.0
+    )
+    assert mh.count() == 0
+    sh = simhash_pairs(docs, max_hamming=6, n_chunks=8, max_bucket_size=1000)
+    assert sh.count() == 0
 
 
 @pytest.fixture(scope="module")

@@ -117,3 +117,23 @@ def test_embedding_cosine_pairs(spark):
     assert (4, 11) in got and got[(4, 11)] > 0.999999
     assert (4, 12) in got
     assert all(c >= 0.99 for c in got.values())
+
+
+def test_dense_sorted_index_no_global_sort(spark):
+    """exc_idx assignment must be a balanced range-partitioned sort, not
+    a Window over lit(1) funneling every row through one task."""
+    from pyspark.sql import functions as F
+
+    from data_reconciliation_spark.sources.state import dense_sorted_index
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.lit("x").alias("v")
+    )
+    out = dense_sorted_index(df, "exc_idx", num_partitions=8)
+    p = _plan(out)
+    assert "Exchange SinglePartition" not in p, p
+    rows = out.orderBy("exc_idx").collect()
+    assert [r["exc_idx"] for r in rows] == list(range(1000))
+    # index order == content sort order
+    keys = [(str(r["k"]), r["v"]) for r in rows]
+    assert keys == sorted(keys)

@@ -126,8 +126,11 @@ def test_sessionize_events_stateful(spark, tmp_path):
     # watermark far enough to time out user 1's second session.
     b1 = [(1, _ts(0, 0), 1, "click", 1.0), (2, _ts(0, 10), 1, "click", 1.0)]
     b2 = [(3, _ts(2, 30), 1, "click", 1.0), (4, _ts(6, 0), 2, "click", 1.0)]
-    spark.createDataFrame(b1, EVENT_SCHEMA).write.parquet(src + "/d1")
-    spark.createDataFrame(b2, EVENT_SCHEMA).write.parquet(src + "/d2")
+    # one part file per batch: maxFilesPerTrigger=1 must see each batch
+    # whole and in order, otherwise the zero watermark drops the earlier
+    # half of a split batch as late data
+    spark.createDataFrame(b1, EVENT_SCHEMA).coalesce(1).write.parquet(src + "/d1")
+    spark.createDataFrame(b2, EVENT_SCHEMA).coalesce(1).write.parquet(src + "/d2")
 
     from data_reconciliation_spark.streaming.incremental import sessionize_events
 
