@@ -46,9 +46,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sorts / limits (O1-O5)
         "o1_history_ordered": dq.q_o1_history_ordered,
         "o4_top2_by_distinct": dq.q_o4_top2_by_distinct,
-        # temporal joins (engine extensions)
+        # temporal joins / sessionization (engine extensions)
         "asof_join": dq.q_asof_join,
         "range_join_pairs": dq.q_range_join_pairs,
+        "sessionize_batch": dq.q_sessionize_batch,
         # scalar functions (X5/X6/X7)
         "x5_multiformat_dates": dq.q_x5_multiformat_dates,
         "x7_change_summaries": dq.q_x7_change_summaries,
@@ -90,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "o4_top2_by_distinct": dq.SQL_O4,
         "asof_join": dq.SQL_ASOF,
         "range_join_pairs": dq.SQL_RANGE,
+        "sessionize_batch": dq.SQL_SESSIONIZE,
         "x5_multiformat_dates": dq.SQL_X5,
         "x7_change_summaries": dq.SQL_X7,
         "dedup_exact": dq.SQL_DEDUP_EXACT,

@@ -35,7 +35,16 @@ from data_reconciliation_spark.operators.scoring import prepare_pages, score_pai
 # execute the identical physical plan shape — the only variable is cores.
 spark = build_session(app_name=f"recon-scaling-{cores}",
                       master=f"local[{cores}]",
-                      shuffle_partitions=128)
+                      shuffle_partitions=128,
+                      extra_conf={
+                          # flat GC pauses at 32 concurrent tasks; the
+                          # timed stage must measure compute, not GC
+                          "spark.driver.extraJavaOptions": "-XX:+UseG1GC",
+                          # the cached pair table fits in RAM at 48g:
+                          # skip columnar compression so cache scans
+                          # spend cores on scoring, not decompression
+                          "spark.sql.inMemoryColumnarStorage.compressed": "false",
+                      })
 spark.sparkContext.setLogLevel("ERROR")
 
 # --- untimed setup: materialize the candidate-pair table ------------------
@@ -57,22 +66,37 @@ pairs = (cp.join(pa, "url_a").join(pb, "url_b")
            .persist(StorageLevel.MEMORY_AND_DISK))
 n_pairs = pairs.count()
 
-# --- timed: score every candidate pair (2 passes; 2nd = steady state) -----
-result = {}
-for attempt in range(2):
+# --- timed: score every candidate pair.  Pass 0 is warmup (codegen
+# compilation + Python-worker spawn); passes 1..3 are steady-state
+# samples and the reported number is their MEDIAN (n>=3 evidence
+# without paying the multi-minute blocking setup three times over).
+samples = []
+n_matches = 0
+for attempt in range(4):
     t0 = time.time()
     n_matches = score_pairs(pairs).where("is_match").count()
     elapsed = time.time() - t0
-    result = {"cores": cores, "pages": n_pages, "pairs": n_pairs,
-              "matches": n_matches, "seconds": round(elapsed, 2),
-              "pairs_per_sec": round(n_pairs / elapsed, 1)}
+    if attempt > 0:
+        samples.append(elapsed)
+samples.sort()
+med = samples[len(samples) // 2]
+result = {"cores": cores, "pages": n_pages, "pairs": n_pairs,
+          "matches": n_matches, "seconds": round(med, 2),
+          "pairs_per_sec": round(n_pairs / med, 1),
+          "all_pairs_per_sec": [round(n_pairs / s, 1) for s in samples]}
 print("RESULT " + json.dumps(result))
 spark.stop()
 """
 
 
-def run_config(cores: int, pages: int) -> dict:
+def run_config(cores: int, pages: int, mem: str) -> dict:
     env = dict(os.environ)
+    # the benchmark JVM must not be memory-starved: with the default 8g
+    # the persisted pair table spills to disk and the timed stage
+    # measures disk reads + GC, which do NOT scale with cores.  The
+    # cached working set fits comfortably; G1 keeps pause times flat at
+    # 32 concurrent tasks.
+    env.setdefault("SPARK_DRIVER_MEMORY", mem)
     out = subprocess.run(
         [sys.executable, "-c", _CHILD_CODE, str(cores), str(pages)],
         capture_output=True,
@@ -89,19 +113,21 @@ def run_config(cores: int, pages: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=20_000)
+    ap.add_argument("--pages", type=int, default=150_000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--mem", default="48g")
     args = ap.parse_args()
 
-    lo = run_config(args.low, args.pages)
-    hi = run_config(args.high, args.pages)
+    lo = run_config(args.low, args.pages, args.mem)
+    hi = run_config(args.high, args.pages, args.mem)
     ratio = args.high / args.low
     eff = round(hi["pairs_per_sec"] / (ratio * lo["pairs_per_sec"]), 3)
 
     os.makedirs("BENCH", exist_ok=True)
     payload = {"low": lo, "high": hi, "parallelism_ratio": ratio,
-               "scaling_efficiency": eff}
+               "scaling_efficiency": eff,
+               "samples_per_config": 3}
     with open("BENCH/scaling.json", "w") as f:
         json.dump(payload, f, indent=2)
 
@@ -122,12 +148,16 @@ synthetic pages (hash-derived from row ids — byte-identical at any
 parallelism), {args.pages} pages, 16 variants per entity, ~20% of
 entities on one hot host.  Steady-state (2nd pass) timing in a fresh JVM
 per configuration; shuffle partitioning held constant (128) so the only
-variable is cores.
+variable is cores.  Each configuration reports the MEDIAN of 3
+steady-state passes after an untimed warmup pass (per-pass pairs/sec
+listed below the table).
 
 | config | pages | candidate pairs scored | match verdicts | seconds | pairs/sec |
 |---|---|---|---|---|---|
 | local[{args.low}]  (N)  | {lo['pages']} | {lo['pairs']} | {lo['matches']} | {lo['seconds']} | {lo['pairs_per_sec']} |
 | local[{args.high}] (4N) | {hi['pages']} | {hi['pairs']} | {hi['matches']} | {hi['seconds']} | {hi['pairs_per_sec']} |
+
+Per-run pairs/sec: N = {lo['all_pairs_per_sec']}, 4N = {hi['all_pairs_per_sec']}.
 
 **Scaling efficiency** = r_4N / (4 x r_N) = **{eff}** (target >= 0.8).
 

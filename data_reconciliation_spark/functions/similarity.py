@@ -65,18 +65,41 @@ def _lcs_length(a: str, b: str) -> int:
     return la - bin(s & width).count("1")
 
 
+def _common_prefix_len(a: str, b: str) -> int:
+    """Longest common prefix via binary search over C-speed slice
+    comparisons (prefix equality is monotone in length)."""
+    lo, hi = 0, min(len(a), len(b))
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if a[:mid] == b[:mid]:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
 def indel_ratio_py(a: str | None, b: str | None) -> float | None:
     """Exact rapidfuzz.fuzz.ratio semantics on two strings (0..100).
 
     Both-empty => 100.0 (rapidfuzz convention).  None propagates as None
     (null handling is done by the caller per reference compare.py:360-367).
+
+    Common prefix/suffix are stripped before the bit-parallel LCS —
+    exact (LCS decomposes around a shared prefix/suffix; rapidfuzz does
+    the same trim) and the dominant cost saver on near-duplicate text,
+    where the DP then runs only over the small differing core.
     """
     if a is None or b is None:
         return None
     total = len(a) + len(b)
     if total == 0:
         return 100.0
-    lcs = _lcs_length(a, b)
+    pre = _common_prefix_len(a, b)
+    a_m, b_m = a[pre:], b[pre:]
+    suf = _common_prefix_len(a_m[::-1], b_m[::-1])
+    if suf:
+        a_m, b_m = a_m[:-suf], b_m[:-suf]
+    lcs = pre + suf + _lcs_length(a_m, b_m)
     dist = total - 2 * lcs
     return 100.0 * (1.0 - dist / total)
 
@@ -128,6 +151,8 @@ def jaro_winkler_py(
     """Jaro-Winkler similarity in [0, 1] (standard 0.1 prefix scaling)."""
     if a is None or b is None:
         return None
+    if a == b:  # exact shortcut (jaro==1 => jw==1); the common case for
+        return 1.0  # canonical URLs of same-entity page variants
     jaro = _jaro(a, b)
     if jaro <= 0.7:  # standard boost threshold
         return jaro
@@ -272,13 +297,17 @@ def simhash64_native(text: "F.Column | str") -> "F.Column":
     """
     text = F.col(text) if isinstance(text, str) else text
     toks = F.split(text, " ")
-    # one md5 per token, then 64 bits per token as array<int>
+    # one md5 per token: the md5 array is materialized by the OUTER
+    # transform so the inner per-nibble loop sees a lambda VARIABLE —
+    # inlining F.md5(t) into the nibble loop would re-hash the token
+    # once per bit under interpreted HOF evaluation (64x).
+    mds = F.transform(toks, lambda t: F.md5(t))
     bit_arrays = F.transform(
-        toks,
-        lambda t: F.flatten(
+        mds,
+        lambda m: F.flatten(
             F.transform(
                 F.sequence(F.lit(1), F.lit(16)),
-                lambda i: _nibble_bits(F.substr(F.md5(t), i, F.lit(1))),
+                lambda i: _nibble_bits(F.substr(m, i, F.lit(1))),
             )
         ),
     )
@@ -292,10 +321,17 @@ def simhash64_native(text: "F.Column | str") -> "F.Column":
 
 
 def _nibble_bits(hex_char):
-    """array<int> of the 4 bits (MSB first) of one hex character."""
+    """array<int> of the 4 bits (MSB first) of one hex character.  The
+    converted value is bound as a lambda variable so ``conv`` runs once
+    per nibble, not once per bit."""
     v = F.conv(hex_char, 16, 10).cast("int")
-    return F.array(
-        *[F.shiftright(v, k).bitwiseAND(F.lit(1)) for k in (3, 2, 1, 0)]
+    return F.flatten(
+        F.transform(
+            F.array(v),
+            lambda vv: F.array(
+                *[F.shiftright(vv, k).bitwiseAND(F.lit(1)) for k in (3, 2, 1, 0)]
+            ),
+        )
     )
 
 

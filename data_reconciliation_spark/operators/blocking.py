@@ -33,17 +33,28 @@ from data_reconciliation_spark.functions.normalize import normalized_host, norma
 
 
 def token_shingles(text: Column | str, k: int = 3) -> Column:
-    """k-token shingles as strings; whole text when shorter than k tokens."""
+    """k-token shingles as strings; whole text when shorter than k tokens.
+
+    The token array is BOUND AS A LAMBDA VARIABLE (single-element
+    transform) before the per-shingle loop: interpreted HOF evaluation
+    re-evaluates non-variable sub-expressions per element, so
+    referencing the raw split-of-regexp expression inside the loop
+    would re-run the regex once per shingle (measured 7x slower on the
+    sf0.1 documents table)."""
     text = F.col(text) if isinstance(text, str) else text
     toks = F.split(normalized_text(text), " ")
-    n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+
+    def shingle(tk: Column) -> Column:
+        n = F.size(tk)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(tk, i, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(tk, " ")))
+
+    return F.flatten(F.transform(F.array(toks), shingle))
 
 
 _LONG_MAX = (1 << 63) - 1

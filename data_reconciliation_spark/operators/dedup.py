@@ -80,13 +80,9 @@ def ngram_jaccard_pairs(
     toks = F.split(normalized_text(F.col(text_col)), " ")
     if block_col is None:
         block_col = F.floor(F.log2(F.size(toks) + 1))  # length bucket
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    # delegate to token_shingles: it binds the token array as a lambda
+    # variable so the split/regex is not re-evaluated per gram
+    grams = token_shingles(F.col(text_col), n)
 
     base = docs.select(
         F.col(id_col), (F.col(block_col) if isinstance(block_col, str) else block_col).alias("block"),
@@ -323,7 +319,9 @@ def embedding_cosine_pairs(
     )
 
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+        from data_reconciliation_spark.operators.similarity_search import infer_dim
+
+        dim = infer_dim(vectors, vec_col)
     b = vectors.select(
         F.col(id_col),
         F.col(vec_col),

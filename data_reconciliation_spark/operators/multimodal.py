@@ -48,11 +48,75 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB — real implementation needs an image codec (PIL/cv2), which
-    this container does not ship.  The Spark plumbing around it is real."""
-    raise NotImplementedError(
-        "image decode requires an image library not present in this environment"
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
+
+    REAL for uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) — pure
+    numpy, no external codec.  Compressed formats (PNG/JPEG/...) need a
+    codec this container does not ship and raise NotImplementedError;
+    the Spark plumbing treats those rows as pass-through.
+    """
+    if payload is None or len(payload) < 2 or payload[:2] != b"BM":
+        raise NotImplementedError(
+            "only uncompressed 24-bit BMP decodes without an external codec"
+        )
+    return _decode_bmp24(payload)
+
+
+def _decode_bmp24(payload: bytes) -> "np.ndarray":
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP is supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp24(rgb: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed bottom-up
+    24-bit BMP — the inverse of :func:`_decode_bmp24`."""
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+    raw = body.tobytes()
+    off = 14 + 40
+    size = off + len(raw)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raw).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2   # 72 dpi
+        + (0).to_bytes(4, "little") * 2
     )
+    return header + raw
+
+
+def resample_nearest(rgb: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Deterministic nearest-neighbor resample (pixel-center mapping)."""
+    h, w = rgb.shape[:2]
+    yi = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return rgb[yi][:, xi]
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -133,14 +197,15 @@ def size_bucketed(media: DataFrame, n_buckets: int = 32) -> DataFrame:
 def resize_images(
     media: DataFrame, width: int = 224, height: int = 224
 ) -> DataFrame:
-    """Image-resize contract: one output row per image row with the
-    target dimensions and a payload placeholder.
+    """Image resize: one output row per image row with the target
+    dimensions.
 
-    The pixel resample itself is STUBBED (no image codec in this
-    container): payloads pass through unchanged with the new dims
-    recorded, and a deterministic content checksum is computed so the
-    pipeline downstream of resize is fully exercisable.  The Spark-side
-    contract (schema, Arrow batching, partition behavior) is real.
+    REAL resample for uncompressed 24-bit BMP payloads (pure-numpy
+    decode -> nearest-neighbor resample -> BMP re-encode; ``decoded``
+    is true).  Payloads in formats needing an external codec pass
+    through unchanged with ``decoded`` false — the honest boundary in
+    this container.  Either way a deterministic checksum is emitted so
+    downstream stages are fully exercisable.
     """
     out_schema = T.StructType(
         [
@@ -149,23 +214,35 @@ def resize_images(
             T.StructField("height", T.IntegerType(), False),
             T.StructField("payload", T.BinaryType(), True),
             T.StructField("checksum", T.LongType(), True),
+            T.StructField("decoded", T.BooleanType(), False),
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
+        def one(p):
+            if p is None:
+                return None, None, False
+            try:
+                rgb = decode_image(bytes(p))
+            except (NotImplementedError, ValueError):
+                return p, zlib.crc32(p), False
+            out = encode_bmp24(resample_nearest(rgb, width, height))
+            return out, zlib.crc32(out), True
+
         for pdf in batches:
+            payloads, checksums, flags = zip(
+                *(one(p) for p in pdf["payload"])
+            ) if len(pdf) else ((), (), ())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "payload": pdf["payload"],
-                    "checksum": [
-                        zlib.crc32(p) if p is not None else None
-                        for p in pdf["payload"]
-                    ],
+                    "payload": list(payloads),
+                    "checksum": list(checksums),
+                    "decoded": list(flags),
                 }
             )
 

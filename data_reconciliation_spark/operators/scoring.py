@@ -142,19 +142,20 @@ def block_score_pipeline(
     """blocking -> candidate pairs (with per-page payloads) -> cascade
     scoring.  The per-page payload is computed BEFORE the pair explosion
     so nothing per-page runs per pair."""
-    # candidate generation blocks on the raw page table (it needs url+text
-    # for shingling); payloads come from the prepared projection.
+    # ONE scan of the raw page table: the prepared projection feeds both
+    # blocking (shingles over norm_text — normalized_text is idempotent,
+    # so re-normalizing inside with_blocking_keys changes nothing) and
+    # the per-side payload joins.  Persisted because it is consumed three
+    # times and the SimHash UDF must run exactly once per page.
+    from pyspark.storagelevel import StorageLevel
+
+    prep = prepare_pages(pages).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = candidate_pairs(
-        pages,
+        prep.select("url", F.col("norm_text").alias("text")),
         blocking_cfg,
         id_col="url",
         payload_cols=(),
     ).withColumnsRenamed({"id_a": "url_a", "id_b": "url_b"})
-    # per-page payload is joined twice (a/b sides): persist so the SimHash
-    # UDF runs exactly once per page.
-    from pyspark.storagelevel import StorageLevel
-
-    prep = prepare_pages(pages).persist(StorageLevel.MEMORY_AND_DISK)
     pa = prep.select(
         F.col("url").alias("url_a"),
         F.col("canon_url").alias("canon_url_a"),

@@ -95,6 +95,17 @@ def _hyperplane_bits(vec: Column, n_planes: int, dim: int, seed: int = 7) -> Col
     return F.concat(*[bit(i) for i in range(n_planes)])
 
 
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Driver-side ONE-ROW probe for embedding dimensionality (a
+    limit-1 scan of the vector column — one tiny job at plan-build
+    time).  At cluster scale pass ``dim`` explicitly: it is table
+    metadata, and plan construction should stay job-free."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not row:
+        raise ValueError(f"cannot infer dim from empty table; pass dim= for {vec_col}")
+    return int(row[0]["d"])
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,7 +120,7 @@ def lsh_bucketed_topk(
     cosine re-rank inside the bucket.  Recall < 1 by design (single
     probe); raise n_planes for precision, add multi-probe for recall."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = infer_dim(corpus, vec_col)
     c = corpus.withColumn("__bucket", _hyperplane_bits(F.col(vec_col), n_planes, dim))
     q = queries.withColumn("__bucket", _hyperplane_bits(F.col(vec_col), n_planes, dim)).select(
         query_id_col, "__bucket", F.col(vec_col).alias("__qvec")

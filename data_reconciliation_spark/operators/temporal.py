@@ -136,3 +136,46 @@ def bucketed_range_join(
         .where((diff >= 0) & (diff <= window_seconds))
         .drop("__bucket")
     )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization in batch: one row per (key, session) with
+    (session_start, session_end, n_events).
+
+    Classic two-window construction over a single shuffle on the key:
+    a lag() marks session breaks (gap > gap_seconds), a running sum of
+    the break flags numbers the sessions, then a groupBy collapses them.
+    Exactly the end-of-stream semantics of
+    ``streaming.incremental.sessionize_events`` (asserted by a parity
+    test), and plain ANSI SQL — the driver verifies it against DuckDB.
+
+    Scale: the window partitions by key (bounded per-user event counts),
+    never globally; the only exchange is hashpartitioning(key).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    brk = F.when(
+        F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_seconds,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.withColumn("__brk", brk)
+        .withColumn("__sess", F.sum("__brk").over(running))
+        .groupBy(key_col, "__sess")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__sess")
+    )

@@ -632,8 +632,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_reconciliation_spark.operators.dedup import minhash_lsh_pairs
 
     docs = read_table(spark, sf_dir, "documents")
+    # 32 hashes, bands=2 x rows=16: identical token sets still collide
+    # on every band (recall exactly 1 at jaccard=1.0), while 16-row
+    # bands make spurious single-token-shingle collisions ~jaccard^16 —
+    # the candidate set stays near the true dup set instead of
+    # exploding, and the signature fold costs half of the default 64.
     return minhash_lsh_pairs(
-        docs, cfg=BlockingConfig(shingle_size=1), verify_threshold=1.0
+        docs,
+        cfg=BlockingConfig(shingle_size=1, num_hashes=32, bands=2),
+        verify_threshold=1.0,
     )
 
 
@@ -911,6 +918,35 @@ def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, signups, key="user_id", ts_col="ts", window_seconds=3600
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the streaming
+    applyInPandasWithState operator) over the events table."""
+    from data_reconciliation_spark.operators.temporal import sessionize_batch
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize_batch(ev, key_col="user_id", ts_col="ts", gap_seconds=1800)
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sess
+"""
 
 
 # unix_timestamp truncates to whole seconds; floor(epoch(...)) mirrors it.

@@ -3,8 +3,12 @@
 The engine's primary scan is Parquet (Iceberg at cluster scale); the
 reference's upload-file surface (CSV with encoding fallback, XML
 fallback parsing, extension gating, preview-N) maps to the helpers
-here.  Excel (S2) is explicitly out of scope for a web-scale engine —
-``read_excel_small`` documents the boundary.
+here.  ``read_excel_small`` / ``read_xml_small`` are the S2/S3
+upload-path shims: driver-side parses (stdlib zip+XML — no external
+codec in this environment) bounded to small files, matching the
+reference's interactive upload sizes (helpers.py:71-112); the
+cluster-scale path for XML is a mapInPandas/spark-xml scan over a
+distributed file listing, which these small tables do not need.
 """
 
 from __future__ import annotations
@@ -30,8 +34,9 @@ def read_csv_with_fallback(
 ) -> DataFrame:
     """S1: CSV scan with encoding fallback utf-8 -> latin-1 (reference
     helpers.py:56-69).  Fallback is detected by scanning for decode
-    failures on a 1-row probe, mirroring the reference's try/except chain
-    without reading the whole file twice."""
+    failures on a 20-row probe — a DRIVER-SIDE limit-collect, fine for
+    the interactive upload path this mirrors; batch ingest at scale
+    should pin the encoding and skip the probe."""
     last_err: Exception | None = None
     df = None
     for enc in _ENCODING_CHAIN:
@@ -115,6 +120,162 @@ def same_system_gate(filename_a: str, filename_b: str) -> bool:
         return stem.strip().lower()
 
     return system_of(filename_a) == system_of(filename_b)
+
+
+_SMALL_FILE_LIMIT = 64 * 1024 * 1024  # 64 MiB: upload-path bound
+
+
+def _infer_typed_columns(header: list[str], rows: list[list[str | None]]):
+    """int -> float -> string inference per column, mirroring what the
+    reference gets from pandas read_excel/read_xml type inference."""
+    cols = []
+    for j, _name in enumerate(header):
+        vals = [r[j] if j < len(r) else None for r in rows]
+        typed: list = []
+        kind = "long"
+        for v in vals:
+            if v is None or v == "":
+                typed.append(None)
+                continue
+            if kind == "long":
+                try:
+                    typed.append(int(v))
+                    continue
+                except ValueError:
+                    kind = "double"
+            if kind == "double":
+                try:
+                    typed.append(float(v))
+                    continue
+                except ValueError:
+                    kind = "string"
+            typed.append(v)
+        if kind == "long":
+            typed = [int(v) if v is not None else None for v in typed]
+        elif kind == "double":
+            typed = [float(v) if v is not None else None for v in typed]
+        else:
+            typed = [
+                str(v) if v is not None and v != "" else None for v in vals
+            ]
+        cols.append((kind, typed))
+    return cols
+
+
+def _rows_to_df(spark: SparkSession, header: list[str], rows: list[list]):
+    cols = _infer_typed_columns(header, rows)
+    schema = ", ".join(
+        f"`{name}` {kind}" for name, (kind, _) in zip(header, cols)
+    )
+    data = [
+        tuple(cols[j][1][i] for j in range(len(header))) for i in range(len(rows))
+    ]
+    return spark.createDataFrame(data, schema)
+
+
+def read_excel_small(spark: SparkSession, path: str, sheet: int = 0) -> DataFrame:
+    """S2 (reference helpers.py:71-82 / etl.py:13-14): Excel upload scan.
+
+    Pure-stdlib .xlsx parse (zip + ElementTree over sheetN.xml and
+    sharedStrings.xml — no openpyxl in this environment), first row =
+    header, int/float/string inference.  DRIVER-SIDE by design: this is
+    the interactive upload path; files above the 64 MiB bound are
+    rejected, pointing users at the parquet/CSV distributed scans.
+    """
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    if os.path.getsize(path) > _SMALL_FILE_LIMIT:
+        raise ValueError("read_excel_small is the upload-path shim; "
+                         "convert large data to parquet/csv")
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{ns}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{ns}t")))
+        sheets = sorted(
+            n for n in z.namelist()
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not sheets:
+            raise ValueError("no worksheets found")
+        root = ET.fromstring(z.read(sheets[sheet]))
+
+    def cell_col(ref: str) -> int:
+        acc = 0
+        for ch in ref:
+            if ch.isalpha():
+                acc = acc * 26 + (ord(ch.upper()) - 64)
+            else:
+                break
+        return acc - 1
+
+    raw_rows: list[list] = []
+    for row in root.iter(f"{ns}row"):
+        vals: dict[int, str | None] = {}
+        for c in row.findall(f"{ns}c"):
+            idx = cell_col(c.get("r", ""))
+            t = c.get("t", "n")
+            if t == "inlineStr":
+                is_el = c.find(f"{ns}is")
+                v = "".join(e.text or "" for e in is_el.iter(f"{ns}t")) if is_el is not None else None
+            else:
+                v_el = c.find(f"{ns}v")
+                v = v_el.text if v_el is not None else None
+                if t == "s" and v is not None:
+                    v = shared[int(v)]
+            vals[idx] = v
+        width = max(vals) + 1 if vals else 0
+        raw_rows.append([vals.get(i) for i in range(width)])
+    if not raw_rows:
+        raise ValueError("empty sheet")
+    header = [str(h) if h is not None else f"col_{i}" for i, h in enumerate(raw_rows[0])]
+    width = len(header)
+    body = [r + [None] * (width - len(r)) for r in raw_rows[1:]]
+    return _rows_to_df(spark, header, body)
+
+
+def read_xml_small(spark: SparkSession, path: str, row_tag: str | None = None) -> DataFrame:
+    """S3 (reference helpers.py:84-112): flat-XML upload scan.
+
+    Tries the direct parse (children of root = rows); when the root's
+    children are heterogeneous, falls back to the reference's
+    most-common-child-tag heuristic.  All-string columns unless values
+    infer as numeric, like ``pd.read_xml``.  Driver-side upload shim with
+    the same 64 MiB bound as :func:`read_excel_small`.
+    """
+    import collections
+    import xml.etree.ElementTree as ET
+
+    if os.path.getsize(path) > _SMALL_FILE_LIMIT:
+        raise ValueError("read_xml_small is the upload-path shim; "
+                         "use a distributed XML scan for large data")
+    root = ET.parse(path).getroot()
+    children = list(root)
+    if not children:
+        raise ValueError("no record elements under XML root")
+    tags = collections.Counter(el.tag for el in children)
+    tag = row_tag or tags.most_common(1)[0][0]
+    records = [el for el in children if el.tag == tag]
+
+    field_order: list[str] = []
+    rows = []
+    for rec in records:
+        d = {}
+        for f in rec:
+            if f.tag not in field_order:
+                field_order.append(f.tag)
+            d[f.tag] = (f.text or "").strip() or None
+        for k, v in rec.attrib.items():
+            if k not in field_order:
+                field_order.append(k)
+            d.setdefault(k, v)
+        rows.append(d)
+    body = [[d.get(k) for k in field_order] for d in rows]
+    return _rows_to_df(spark, field_order, body)
 
 
 def write_bucketed_table(

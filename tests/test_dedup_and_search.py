@@ -330,3 +330,33 @@ def test_resize_images_contract(spark):
     assert (out[0]["width"], out[0]["height"]) == (224, 224)
     import zlib
     assert out[0]["checksum"] == zlib.crc32(b"abc")
+
+
+def test_bmp_decode_resize_roundtrip(spark):
+    """Real pixel path: BMP decode -> nearest resample -> BMP re-encode,
+    verified against a pure-numpy oracle."""
+    import numpy as np
+
+    from data_reconciliation_spark.operators.multimodal import (
+        _decode_bmp24,
+        decode_image,
+        encode_bmp24,
+        resample_nearest,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    payload = encode_bmp24(img)
+    assert (decode_image(payload) == img).all()          # lossless roundtrip
+
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(payload), "image/bmp", 8, 6, None)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = resize_images(media, 4, 3).collect()
+    assert len(out) == 1 and out[0]["decoded"]
+    got = _decode_bmp24(bytes(out[0]["payload"]))
+    want = resample_nearest(img, 4, 3)
+    assert got.shape == (3, 4, 3) and (got == want).all()

@@ -188,3 +188,141 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     # bucketed-by-key on both sides: no shuffle exchange anywhere
     assert "Exchange hashpartitioning" not in plan, plan
     assert joined.count() == 1000
+
+
+def _make_xlsx(path, header, rows):
+    """Minimal .xlsx writer (stdlib zip + hand-built XML) so the S2 shim
+    can be tested without any Excel library."""
+    import zipfile
+
+    def col_letter(j):
+        s = ""
+        j += 1
+        while j:
+            j, r = divmod(j - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    strings, sidx = [], {}
+
+    def sref(v):
+        if v not in sidx:
+            sidx[v] = len(strings)
+            strings.append(v)
+        return sidx[v]
+
+    def row_xml(i, vals):
+        cells = []
+        for j, v in enumerate(vals):
+            ref = f"{col_letter(j)}{i + 1}"
+            if v is None:
+                continue
+            if isinstance(v, (int, float)):
+                cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+            else:
+                cells.append(f'<c r="{ref}" t="s"><v>{sref(str(v))}</v></c>')
+        return f'<row r="{i + 1}">{"".join(cells)}</row>'
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        + row_xml(0, header)
+        + "".join(row_xml(i + 1, r) for i, r in enumerate(rows))
+        + "</sheetData></worksheet>"
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst {ns} count="{len(strings)}" uniqueCount="{len(strings)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("[Content_Types].xml", "<Types/>")
+
+
+def test_read_excel_small(spark, tmp_path):
+    from data_reconciliation_spark.sources.readers import read_excel_small
+
+    p = tmp_path / "book.xlsx"
+    _make_xlsx(
+        str(p),
+        ["id", "name", "amount"],
+        [[1, "alice", 10.5], [2, "bob", 20.0], [3, None, 7]],
+    )
+    df = read_excel_small(spark, str(p))
+    assert df.columns == ["id", "name", "amount"]
+    assert dict(df.dtypes) == {"id": "bigint", "name": "string", "amount": "double"}
+    rows = {r["id"]: (r["name"], r["amount"]) for r in df.collect()}
+    assert rows == {1: ("alice", 10.5), 2: ("bob", 20.0), 3: (None, 7.0)}
+
+
+def test_read_xml_small(spark, tmp_path):
+    from data_reconciliation_spark.sources.readers import read_xml_small
+
+    p = tmp_path / "recs.xml"
+    p.write_text(
+        """<root>
+             <meta>ignored-minority-tag</meta>
+             <rec><id>1</id><name>alice</name></rec>
+             <rec><id>2</id><name>bob</name></rec>
+             <rec><id>3</id><name></name></rec>
+           </root>"""
+    )
+    df = read_xml_small(spark, str(p))
+    # most-common-child-tag fallback picks <rec> (reference helpers.py:100-107)
+    assert df.columns == ["id", "name"]
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    assert rows == {1: "alice", 2: "bob", 3: None}
+
+
+def test_sessionize_batch_and_streaming_parity(spark, tmp_path):
+    """sessionize_batch must (a) match a pure-python gap-split oracle and
+    (b) agree with every session the streaming operator closes."""
+    from data_reconciliation_spark.operators.temporal import sessionize_batch
+    from data_reconciliation_spark.streaming.incremental import sessionize_events
+
+    b1 = [(1, _ts(0, 0), 1, "click", 1.0), (2, _ts(0, 10), 1, "click", 1.0)]
+    b2 = [(3, _ts(2, 30), 1, "click", 1.0), (4, _ts(6, 0), 2, "click", 1.0)]
+    events = spark.createDataFrame(b1 + b2, EVENT_SCHEMA)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(events, gap_seconds=1800).collect()
+    }
+    # python oracle: gap-split per user
+    import itertools
+
+    want = set()
+    rows = sorted(b1 + b2, key=lambda r: (r[2], r[1]))
+    for uid, grp in itertools.groupby(rows, key=lambda r: r[2]):
+        cur = []
+        for r in grp:
+            if cur and (r[1] - cur[-1]).total_seconds() > 1800:
+                want.add((uid, cur[0], cur[-1], len(cur)))
+                cur = []
+            cur.append(r[1])
+        want.add((uid, cur[0], cur[-1], len(cur)))
+    assert got == want
+
+    # streaming agreement: every CLOSED streaming session is a batch session
+    src = str(tmp_path / "sess_parity")
+    spark.createDataFrame(b1, EVENT_SCHEMA).coalesce(1).write.parquet(src + "/d1")
+    spark.createDataFrame(b2, EVENT_SCHEMA).coalesce(1).write.parquet(src + "/d2")
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/*")
+    q = (
+        sessionize_events(stream, gap_seconds=1800, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_parity_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    closed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sess_parity_out").collect()
+    }
+    assert closed and closed <= got
