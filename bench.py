@@ -75,12 +75,14 @@ def main() -> None:
     ).persist()
     pages.count()  # input materialization is not pipeline cost
 
-    # Two passes; report the second (steady state).  The first pass in a
+    # Three passes; report the third (steady state).  The first pass in a
     # fresh JVM pays whole-stage-codegen compilation + Python-worker spawn
-    # (measured 3-4x inflation), which is amortized noise on any real
+    # (measured 3-4x inflation) and the second still carries partial
+    # warmup (measured bimodal 35s/52s at sf0.1), which is amortized
+    # noise on any real
     # long-running cluster.
     er_scoring_sec, n_pairs, cluster_sec = None, 0, None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         res = link(pages)
         n_pairs = res.scored_pairs.count()

@@ -36,6 +36,8 @@ __all__ = [
     "simhash64_native",
     "simhash64_md5_py",
 ]
+# (simhash64_native returns the final signed int64 directly; the packed
+# lane accumulator is internal.)
 
 
 # ---------------------------------------------------------------------------
@@ -282,75 +284,85 @@ def simhash64_md5_py(s: str | None) -> int | None:
 
 
 def simhash64_native(text: "F.Column | str") -> "F.Column":
-    """64-bit SimHash as pure Catalyst expressions (no UDF).
+    """64-bit SimHash (signed int64) as pure Catalyst expressions.
 
-    Token hash = first 16 hex nibbles of md5(token); the per-bit sum is a
-    single ``aggregate`` fold over the token array (one md5 per token,
-    materialized before the fold so interpreted HOF evaluation never
-    recomputes it per bit).  Deterministic across engines: DuckDB
-    reproduces the identical value from ``md5()`` + integer arithmetic,
-    which is what makes ``simhash_pairs`` driver-oracle-checkable.
+    Token hash = first 16 hex nibbles of md5(token).  The 64 per-bit
+    sums are packed into 16 longs of four 16-bit lanes (one long per
+    nibble position): per token the fold does one md5, 16 substr+conv,
+    and 16 packed adds — no per-bit array allocation.  Lane k of long i
+    accumulates ``2 * bit`` for bit j = 4i+k (j=0 is the md5 MSB
+    nibble's top bit), so lane > n_tokens  <=>  the signed bit-sum is
+    positive — no bias, no negative lanes, and with 16-bit lanes the
+    packing is exact for documents up to 32767 tokens (split longer
+    texts upstream).
 
-    Returned as signed int64: bit j (j=0 is the md5 MSB nibble's top bit)
-    lands at position 63-j, with the sign bit handled by subtraction so
-    no long-literal overflows.
+    All intermediate values (md5 array, nibble arrays, packed sums,
+    token count) are bound as HOF lambda variables: interpreted
+    higher-order-function evaluation re-evaluates any non-variable
+    sub-expression once per element, which is the difference between
+    one md5 per token and 64.
+
+    Deterministic across engines: DuckDB reproduces the identical value
+    from ``md5()`` + integer arithmetic (SQL_SIMHASH), which is what
+    makes ``simhash_pairs`` driver-oracle-checkable.  Bit j of the
+    signature lands at position 63-j; the sign bit is handled by
+    subtraction so no long literal overflows (ANSI mode safe).
     """
     text = F.col(text) if isinstance(text, str) else text
     toks = F.split(text, " ")
-    # one md5 per token: the md5 array is materialized by the OUTER
-    # transform so the inner per-nibble loop sees a lambda VARIABLE —
-    # inlining F.md5(t) into the nibble loop would re-hash the token
-    # once per bit under interpreted HOF evaluation (64x).
     mds = F.transform(toks, lambda t: F.md5(t))
-    bit_arrays = F.transform(
+    nib_arrays = F.transform(
         mds,
-        lambda m: F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(16)),
-                lambda i: _nibble_bits(F.substr(m, i, F.lit(1))),
-            )
+        lambda m: F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.conv(F.substr(m, i, F.lit(1)), 16, 10).cast("long"),
         ),
     )
-    zeros = F.array_repeat(F.lit(0), 64)
-    acc = F.aggregate(
-        bit_arrays,
-        zeros,
-        lambda a, bits: F.zip_with(a, bits, lambda x, b: x + b * 2 - 1),
-    )
-    return acc
 
+    def delta(v):
+        # four 16-bit lanes: lane k += 2*bit(3-k of nibble); all terms
+        # non-negative so lanes never borrow into each other
+        parts = [
+            F.shiftleft(F.shiftright(v, 3 - k).bitwiseAND(F.lit(1)), 16 * k + 1)
+            for k in range(4)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.bitwiseOR(p)
+        return out
 
-def _nibble_bits(hex_char):
-    """array<int> of the 4 bits (MSB first) of one hex character.  The
-    converted value is bound as a lambda variable so ``conv`` runs once
-    per nibble, not once per bit."""
-    v = F.conv(hex_char, 16, 10).cast("int")
-    return F.flatten(
-        F.transform(
-            F.array(v),
-            lambda vv: F.array(
-                *[F.shiftright(vv, k).bitwiseAND(F.lit(1)) for k in (3, 2, 1, 0)]
-            ),
-        )
+    zeros16 = F.array_repeat(F.lit(0).cast("long"), 16)
+    acc16 = F.aggregate(
+        nib_arrays,
+        zeros16,
+        lambda acc, nibs: F.zip_with(acc, nibs, lambda a, v: a + delta(v)),
     )
 
+    def assemble(s):
+        a16, n = s["acc"], s["n"]
+        lane_mask = F.lit((1 << 16) - 1)
 
-def simhash_sign_to_long(acc: "F.Column") -> "F.Column":
-    """Fold a 64-long bit-sum array (as produced by
-    :func:`simhash64_native`) into the signed int64 signature.  Must be
-    applied in a SEPARATE projection from the fold (64 element_at
-    references; Catalyst's CollapseProject keeps non-cheap expressions
-    un-inlined, but don't rely on it across one select)."""
-    pos = None
-    for j in range(1, 64):
-        term = F.when(F.element_at(acc, j + 1) > 0, F.lit(1 << (63 - j))).otherwise(
+        def lane(j):
+            i, k = divmod(j, 4)
+            return F.shiftright(F.element_at(a16, i + 1), 16 * k).bitwiseAND(
+                lane_mask
+            )
+
+        pos = None
+        for j in range(1, 64):
+            term = F.when(lane(j) > n, F.lit(1 << (63 - j))).otherwise(
+                F.lit(0).cast("long")
+            )
+            pos = term if pos is None else pos + term
+        sign = F.when(lane(0) > n, F.lit(-9223372036854775808)).otherwise(
             F.lit(0).cast("long")
         )
-        pos = term if pos is None else pos + term
-    sign = F.when(
-        F.element_at(acc, 1) > 0, F.lit(-9223372036854775808)
-    ).otherwise(F.lit(0).cast("long"))
-    return pos + sign
+        return pos + sign
+
+    packed = F.array(
+        F.struct(acc16.alias("acc"), F.size(toks).cast("long").alias("n"))
+    )
+    return F.element_at(F.transform(packed, assemble), 1)
 
 
 # ---------------------------------------------------------------------------

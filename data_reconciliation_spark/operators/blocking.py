@@ -62,7 +62,7 @@ _LONG_MAX = (1 << 63) - 1
 
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 0) -> Column:
     """array<bigint> MinHash signature: per hash-function i, the min of
-    ``xxhash64(shingle, i, seed)`` over all shingles.
+    ``xxhash64(xxhash64(shingle, seed), i)`` over all shingles.
 
     Implemented as a single ``aggregate`` fold over the shingle array
     (running element-wise min of a k-wide hash vector).  The obvious
@@ -70,16 +70,29 @@ def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 0) -> 
     s -> hash(s,i))))`` — re-evaluates the shingle expression per hash
     function inside interpreted (non-codegen) HOF evaluation and measured
     ~33x slower at k=64; the fold walks the shingles exactly once.
+
+    The shingle STRING is hashed exactly once (O(len)); the per-function
+    hashes re-hash only that 8-byte value (O(1) each), bound as a lambda
+    variable via a single-element transform so the string hash is not
+    re-evaluated per hash function.  Same derivation trick as Spark ML's
+    MinHashLSH (one base hash, k cheap rehashes), with full xxhash64
+    mixing instead of a linear congruence.
     """
     init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes)
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.aggregate(
-        shingles,
-        init,
-        lambda acc, s: F.zip_with(
-            acc, idx, lambda a, i: F.least(a, F.xxhash64(s, i, F.lit(seed)))
-        ),
-    )
+
+    def step(acc: Column, s: Column) -> Column:
+        return F.element_at(
+            F.transform(
+                F.array(F.xxhash64(s, F.lit(seed))),
+                lambda h: F.zip_with(
+                    acc, idx, lambda a, i: F.least(a, F.xxhash64(h, i))
+                ),
+            ),
+            1,
+        )
+
+    return F.aggregate(shingles, init, step)
 
 
 def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:

@@ -224,17 +224,11 @@ def simhash_pairs(
     # persist: the chunk table feeds both self-join sides; the per-doc
     # SimHash signature must be computed exactly once per document
     if use_native:
-        from data_reconciliation_spark.functions.similarity import (
-            simhash64_native,
-            simhash_sign_to_long,
-        )
+        from data_reconciliation_spark.functions.similarity import simhash64_native
 
-        acc = docs.select(
+        sig = docs.select(
             F.col(id_col),
-            simhash64_native(normalized_text(F.col(text_col))).alias("__acc"),
-        )
-        sig = acc.select(
-            F.col(id_col), simhash_sign_to_long(F.col("__acc")).alias("simhash")
+            simhash64_native(normalized_text(F.col(text_col))).alias("simhash"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
         sig = docs.select(

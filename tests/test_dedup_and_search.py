@@ -73,8 +73,17 @@ def test_ngram_jaccard_pairs(docs):
 
 
 def test_minhash_lsh_pairs(docs):
+    # docs 0 vs 2 share 4 of 10 distinct trigram shingles (jaccard 0.4):
+    # at the default 16 bands x 4 rows the collision probability is only
+    # ~0.34, so the test pins 32 bands x 2 rows (P(collide) ~ 0.996) —
+    # the knob a caller tunes to the jaccard they must recall.
+    from data_reconciliation_spark.config import BlockingConfig
+
     got = {
-        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, verify_threshold=0.6).collect()
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, cfg=BlockingConfig(bands=32), verify_threshold=0.6
+        ).collect()
     }
     assert (0, 1) in got          # identical
     assert (0, 2) in got          # near dup collides on >=1 band
