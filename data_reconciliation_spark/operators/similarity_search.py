@@ -138,26 +138,86 @@ def lsh_bucketed_topk(
     )
 
 
+def _lloyd_refine(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iters: int,
+) -> DataFrame:
+    """Deterministic Lloyd (k-means) refinement of seed centroids under
+    cosine assignment: assign every corpus vector to its nearest
+    centroid, recompute each centroid as the element-wise mean of its
+    members (posexplode + groupBy avg — one shuffle of n x dim scalar
+    rows per iteration), keep the old centroid for empty cells.
+
+    The refreshed centroid table is COLLECTED each iteration — it is
+    n_centroids x dim floats by construction (tiny), and rebuilding it
+    driver-side keeps the plan flat instead of stacking crossJoin
+    lineage per iteration.  At warehouse scale you train on a corpus
+    sample; pass a pre-sampled ``corpus``.
+    """
+    spark = corpus.sparkSession
+    cents = seeds
+    pts = corpus.select(F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pvec"))
+    for _ in range(iters):
+        scored = pts.crossJoin(F.broadcast(cents)).select(
+            "__pid",
+            "__pvec",
+            "centroid_id",
+            cosine_sim(F.col("__pvec"), F.col("__cvec")).alias("__csim"),
+        )
+        w = Window.partitionBy("__pid").orderBy(F.desc("__csim"), F.col("centroid_id"))
+        best = scored.withColumn("__r", F.row_number().over(w)).where(F.col("__r") == 1)
+        means = (
+            best.select("centroid_id", F.posexplode("__pvec").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("__new")
+            )
+        )
+        refreshed = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("__new"), F.col("__cvec")).alias("__cvec"),
+            )
+            .collect()
+        )
+        cents = spark.createDataFrame(
+            [(r["centroid_id"], r["__cvec"]) for r in refreshed],
+            f"centroid_id {seeds.schema['centroid_id'].dataType.simpleString()}, "
+            "__cvec array<float>",
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     n_centroids: int = 16,
     nprobe: int = 4,
     k: int = 10,
+    refine_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """IVF ANN with deterministic centroid seeds: the first
-    ``n_centroids`` corpus vectors by id act as centroids (a k-means
-    refinement would slot in here; seeds keep it deterministic).
-    Corpus vectors are assigned to their nearest centroid once;
+    """IVF ANN: deterministic seeds (first ``n_centroids`` corpus
+    vectors by id) refined with ``refine_iters`` Lloyd iterations, then
+    corpus vectors are assigned to their nearest centroid once and
     queries probe their ``nprobe`` nearest centroid cells only."""
-    centroids = F.broadcast(
-        corpus.orderBy(id_col).limit(n_centroids).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
-        )
+    seeds = corpus.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
     )
+    if refine_iters > 0:
+        seeds = _lloyd_refine(corpus, seeds, id_col, vec_col, refine_iters)
+    centroids = F.broadcast(seeds)
 
     def assign(df: DataFrame, in_id: str, keep_vec: str, top: int) -> DataFrame:
         scored = df.crossJoin(centroids).select(
