@@ -56,9 +56,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup suite
         "dedup_exact": dq.q_dedup_exact,
         "dedup_ngram_jaccard": dq.q_dedup_ngram_jaccard,
-        # text analysis
+        # text analysis / corpus curation
         "text_stats": dq.q_text_stats,
         "lang_id": dq.q_lang_id,
+        "quality_filter": dq.q_quality_filter,
+        "top_k_tokens": dq.q_top_k_tokens,
         # similarity search
         "ann_cosine_topk": dq.q_ann_cosine_topk,
         # transitive clustering (C)
@@ -98,6 +100,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dq.SQL_DEDUP_NGRAM,
         "text_stats": dq.SQL_TEXT_STATS,
         "lang_id": dq.SQL_LANG_ID,
+        "quality_filter": dq.SQL_QUALITY_FILTER,
+        "top_k_tokens": dq.SQL_TOP_K_TOKENS,
         "ann_cosine_topk": dq.SQL_ANN,
         "cluster_chain_components": dq.SQL_CLUSTER_CHAIN,
         "minhash_lsh_pairs": dq.SQL_MINHASH,

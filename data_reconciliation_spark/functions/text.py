@@ -59,16 +59,19 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(
+    text: Column | str, min_tokens: int = 10, max_tokens: int = 100_000
+) -> Column:
     """Composite quality heuristic in [0,1]: length band + low punct +
     reasonable mean word length.  Deterministic; thresholds documented in
-    the expression itself."""
+    the expression itself (the length band is the config knob a curation
+    pipeline tunes per corpus)."""
     text = F.col(text) if isinstance(text, str) else text
     n_tok = whitespace_token_count(text)
     mean_word = F.when(n_tok == 0, F.lit(0.0)).otherwise(
         F.length(F.regexp_replace(normalized_text(text), " ", "")) / n_tok
     )
-    length_ok = F.when((n_tok >= 10) & (n_tok <= 100_000), 1.0).otherwise(0.0)
+    length_ok = F.when((n_tok >= min_tokens) & (n_tok <= max_tokens), 1.0).otherwise(0.0)
     punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.0)
     word_ok = F.when((mean_word >= 2.0) & (mean_word <= 12.0), 1.0).otherwise(0.0)
     return (length_ok + punct_ok + word_ok) / 3.0
@@ -98,12 +101,17 @@ def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
     from the minimum window; native expressions only."""
     text = F.col(text) if isinstance(text, str) else text
     toks = F.split(normalized_text(text), " ")
-    n = F.size(toks)
-    windows = F.when(
-        n >= window,
-        F.transform(
-            F.sequence(F.lit(1), n - (window - 1)),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, window), " ")),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
-    return F.array_min(windows)
+
+    # token array bound as a lambda variable: interpreted HOF evaluation
+    # would otherwise re-run the regex split once per window
+    def windows(tk: Column) -> Column:
+        n = F.size(tk)
+        return F.when(
+            n >= window,
+            F.transform(
+                F.sequence(F.lit(1), n - (window - 1)),
+                lambda i: F.xxhash64(F.array_join(F.slice(tk, i, window), " ")),
+            ),
+        ).otherwise(F.array(F.xxhash64(F.array_join(tk, " "))))
+
+    return F.array_min(F.flatten(F.transform(F.array(toks), windows)))

@@ -511,6 +511,89 @@ FROM documents
 """
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation gate: keep documents passing >= 2 of 3 quality
+    criteria (length band, punctuation ratio, mean word length) — the
+    filter stage of a training-data pipeline."""
+    from data_reconciliation_spark.functions.text import (
+        quality_score,
+        whitespace_token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    # min_tokens=55 sits mid-distribution for the synthetic corpus, so
+    # the gate actually separates documents instead of passing all
+    return (
+        docs.select(
+            "doc_id",
+            whitespace_token_count("text").alias("n_tokens"),
+            F.round(quality_score("text", min_tokens=55), 4).alias("quality"),
+        )
+        .where(F.col("quality") >= 0.9)
+    )
+
+
+SQL_QUALITY_FILTER = r"""
+WITH q AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(trim(text), '\s+', ' ', 'g')) = 0 THEN 0
+              ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+         END AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE
+                   / length(text) END AS pr,
+         length(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', ''))::DOUBLE AS n_chars_nospace
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(((CASE WHEN n_tokens >= 55 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN n_tokens > 0
+                     AND n_chars_nospace / n_tokens >= 2.0
+                     AND n_chars_nospace / n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END))
+            / 3.0, 4) AS quality
+FROM q
+WHERE round(((CASE WHEN n_tokens >= 55 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN n_tokens > 0
+                    AND n_chars_nospace / n_tokens >= 2.0
+                    AND n_chars_nospace / n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END))
+           / 3.0, 4) >= 0.9
+"""
+
+
+def q_top_k_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics: top-20 tokens by frequency with a
+    deterministic (count desc, token asc) tie-break — the wordcount
+    profile a tokenizer-budget estimate starts from."""
+    from data_reconciliation_spark.functions.normalize import normalized_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(normalized_text(F.col("text"))), " ")).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("token"))
+        .limit(20)
+    )
+
+
+SQL_TOP_K_TOKENS = r"""
+SELECT token, COUNT(*)::BIGINT AS n
+FROM (
+  SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_reconciliation_spark.functions.text import lang_id
 
