@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_change_summaries": dq.q_x7_change_summaries,
         # dedup suite
         "dedup_exact": dq.q_dedup_exact,
+        "dedup_incremental": dq.q_dedup_incremental,
         "dedup_ngram_jaccard": dq.q_dedup_ngram_jaccard,
         # text analysis / corpus curation
         "text_stats": dq.q_text_stats,
@@ -97,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "x5_multiformat_dates": dq.SQL_X5,
         "x7_change_summaries": dq.SQL_X7,
         "dedup_exact": dq.SQL_DEDUP_EXACT,
+        "dedup_incremental": dq.SQL_DEDUP_INCREMENTAL,
         "dedup_ngram_jaccard": dq.SQL_DEDUP_NGRAM,
         "text_stats": dq.SQL_TEXT_STATS,
         "lang_id": dq.SQL_LANG_ID,

@@ -334,3 +334,34 @@ def embedding_cosine_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingest dedup: of a new batch, keep one representative
+    per fingerprint (lowest id) that does NOT already exist in the
+    corpus.
+
+    Both sides reduce to 32-hex-char fingerprints before any join — the
+    corpus text is never shuffled, and the corpus side collapses to its
+    distinct fingerprint set (at warehouse scale: a persisted
+    fingerprint table the ingest job anti-joins against; Spark
+    broadcasts it when small).  Output: (doc_id, fingerprint) of the
+    genuinely new documents.
+    """
+    fp_new = new_docs.select(
+        F.col(id_col), text_fingerprint(text_col).alias("fingerprint")
+    )
+    first_in_batch = fp_new.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col)
+    )
+    corpus_fps = corpus_docs.select(
+        text_fingerprint(text_col).alias("fingerprint")
+    ).distinct()
+    return first_in_batch.join(corpus_fps, "fingerprint", "left_anti").select(
+        id_col, "fingerprint"
+    )

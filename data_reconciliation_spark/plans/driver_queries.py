@@ -443,6 +443,35 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: docs with doc_id >= 250 arrive as a new
+    batch against the first 250 as the existing corpus; emit the batch
+    docs whose content is genuinely new."""
+    from data_reconciliation_spark.operators.dedup import incremental_exact_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    return incremental_exact_dedup(batch, corpus)
+
+
+SQL_DEDUP_INCREMENTAL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+first_in_batch AS (
+  SELECT fingerprint, MIN(doc_id) AS doc_id
+  FROM fp WHERE doc_id >= 250 GROUP BY fingerprint
+)
+SELECT b.doc_id, b.fingerprint
+FROM first_in_batch b LEFT JOIN corpus c USING (fingerprint)
+WHERE c.fingerprint IS NULL
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_reconciliation_spark.operators.dedup import ngram_jaccard_pairs
 

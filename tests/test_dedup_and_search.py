@@ -369,3 +369,15 @@ def test_bmp_decode_resize_roundtrip(spark):
     got = _decode_bmp24(bytes(out[0]["payload"]))
     want = resample_nearest(img, 4, 3)
     assert got.shape == (3, 4, 3) and (got == want).all()
+
+
+def test_incremental_exact_dedup(docs):
+    from data_reconciliation_spark.operators.dedup import incremental_exact_dedup
+
+    corpus = docs.where("doc_id <= 3")     # holds the 0/1 dup pair's text
+    batch = docs.where("doc_id > 3")       # 4 = ws/case dup of 0; 5,6 fresh
+    kept = {
+        r["doc_id"] for r in incremental_exact_dedup(batch, corpus).collect()
+    }
+    # doc 4 normalizes to doc 0's fingerprint (already in corpus) -> dropped
+    assert kept == {5, 6}
