@@ -137,3 +137,18 @@ def test_dense_sorted_index_no_global_sort(spark):
     # index order == content sort order
     keys = [(str(r["k"]), r["v"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_minhash_band_join_carries_ids_only(spark):
+    """The LSH band self-join (the widest shuffle of the dedup path)
+    must exchange only (8-byte band hash, id) — document text stays in
+    the scan projection that computes signatures and is re-joined only
+    for the verify stage on the deduplicated pair set."""
+    from data_reconciliation_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, verify_threshold=None)
+    p = _plan(pairs)
+    # candidate generation never materializes per-side text columns
+    assert "text_a" not in p and "text_b" not in p, p
+    assert "band_key" in p
