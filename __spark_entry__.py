@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": dq.q_lang_id,
         "quality_filter": dq.q_quality_filter,
         "top_k_tokens": dq.q_top_k_tokens,
+        "curation_pipeline": dq.q_curation_pipeline,
         # similarity search
         "ann_cosine_topk": dq.q_ann_cosine_topk,
         # transitive clustering (C)
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": dq.SQL_LANG_ID,
         "quality_filter": dq.SQL_QUALITY_FILTER,
         "top_k_tokens": dq.SQL_TOP_K_TOKENS,
+        "curation_pipeline": dq.SQL_CURATION,
         "ann_cosine_topk": dq.SQL_ANN,
         "cluster_chain_components": dq.SQL_CLUSTER_CHAIN,
         "minhash_lsh_pairs": dq.SQL_MINHASH,

@@ -623,6 +623,55 @@ LIMIT 20
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE Catalyst plan: quality gate ->
+    exact dedup (keep lowest-id per fingerprint) -> per-language kept
+    counts.  The composition the training-data pipeline runs nightly."""
+    from data_reconciliation_spark.functions.text import quality_score
+    from data_reconciliation_spark.operators.dedup import text_fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    passed = docs.where(F.round(quality_score("text", min_tokens=55), 4) >= 0.9)
+    keep = (
+        passed.select("doc_id", "lang", text_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    kept_docs = keep.join(
+        passed.select("doc_id", "lang"), "doc_id"
+    )
+    return kept_docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+SQL_CURATION = r"""
+WITH q AS (
+  SELECT doc_id, lang,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         CASE WHEN length(regexp_replace(trim(text), '\s+', ' ', 'g')) = 0 THEN 0
+              ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+         END AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE
+                   / length(text) END AS pr,
+         length(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', ''))::DOUBLE AS ncs
+  FROM documents
+),
+passed AS (
+  SELECT * FROM q
+  WHERE round(((CASE WHEN n_tokens >= 55 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN n_tokens > 0 AND ncs / n_tokens >= 2.0
+                      AND ncs / n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) >= 0.9
+),
+keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM passed GROUP BY fp)
+SELECT p.lang, COUNT(*)::BIGINT AS n_docs
+FROM keep k JOIN passed p USING (doc_id)
+GROUP BY p.lang
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_reconciliation_spark.functions.text import lang_id
 

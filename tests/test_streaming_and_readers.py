@@ -326,3 +326,46 @@ def test_sessionize_batch_and_streaming_parity(spark, tmp_path):
         for r in spark.sql("select * from sess_parity_out").collect()
     }
     assert closed and closed <= got
+
+
+def test_sessionize_with_rocksdb_state_store(spark, tmp_path):
+    """The documented cluster-scale state store (RocksDB) must run the
+    stateful sessionization end-to-end, not just be a config note."""
+    from data_reconciliation_spark.streaming.incremental import sessionize_events
+
+    src = str(tmp_path / "sess_rocks")
+    b1 = [(1, _ts(0, 0), 1, "click", 1.0), (2, _ts(0, 10), 1, "click", 1.0)]
+    b2 = [(3, _ts(2, 30), 1, "click", 1.0), (4, _ts(6, 0), 2, "click", 1.0)]
+    spark.createDataFrame(b1, EVENT_SCHEMA).coalesce(1).write.parquet(src + "/d1")
+    spark.createDataFrame(b2, EVENT_SCHEMA).coalesce(1).write.parquet(src + "/d2")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(EVENT_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src + "/*")
+        q = (
+            sessionize_events(stream, gap_seconds=1800, watermark="0 seconds")
+            .writeStream.format("memory")
+            .queryName("sessions_rocks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour,
+             r["n_events"])
+            for r in spark.sql("select * from sessions_rocks").collect()
+        }
+        assert (1, 0, 2) in got
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
