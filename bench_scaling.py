@@ -62,7 +62,7 @@ pa = prep.select(F.col("url").alias("url_a"), F.col("canon_url").alias("canon_ur
 pb = prep.select(F.col("url").alias("url_b"), F.col("canon_url").alias("canon_url_b"),
                  F.col("norm_text").alias("norm_text_b"), F.col("simhash").alias("simhash_b"))
 pairs = (cp.join(pa, "url_a").join(pb, "url_b")
-           .repartition(128)
+           .repartition(512)
            .persist(StorageLevel.MEMORY_AND_DISK))
 n_pairs = pairs.count()
 
@@ -78,12 +78,12 @@ for attempt in range(4):
     elapsed = time.time() - t0
     if attempt > 0:
         samples.append(elapsed)
-samples.sort()
-med = samples[len(samples) // 2]
+in_order = [round(n_pairs / s, 1) for s in samples]  # pass order preserved
+med = sorted(samples)[len(samples) // 2]
 result = {"cores": cores, "pages": n_pages, "pairs": n_pairs,
           "matches": n_matches, "seconds": round(med, 2),
           "pairs_per_sec": round(n_pairs / med, 1),
-          "all_pairs_per_sec": [round(n_pairs / s, 1) for s in samples]}
+          "all_pairs_per_sec": in_order}
 print("RESULT " + json.dumps(result))
 spark.stop()
 """
@@ -97,8 +97,14 @@ def run_config(cores: int, pages: int, mem: str) -> dict:
     # cached working set fits comfortably; G1 keeps pause times flat at
     # 32 concurrent tasks.
     env.setdefault("SPARK_DRIVER_MEMORY", mem)
+    # CPU-pin the whole process tree (JVM + Python workers) to exactly
+    # `cores` cores: an N-core cluster executor runs its Python workers
+    # INSIDE its N cores, but un-pinned local[N] on a bigger box lets
+    # the workers spill onto spare cores — inflating the low-parallelism
+    # leg and underestimating scaling efficiency.
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD_CODE, str(cores), str(pages)],
+        ["taskset", "-c", f"0-{cores - 1}",
+         sys.executable, "-c", _CHILD_CODE, str(cores), str(pages)],
         capture_output=True,
         text=True,
         env=env,

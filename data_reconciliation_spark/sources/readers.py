@@ -298,3 +298,48 @@ def write_bucketed_table(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table_name)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    sort_col: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    roughly ``target_file_mb`` each (the 100 TB housekeeping op — a
+    continuously-ingesting table accumulates thousands of tiny part
+    files, and scan throughput dies on file-open overhead).
+
+    Sizing uses the CURRENT on-disk bytes (driver-side listing of the
+    directory — metadata only, no data read), so compressed size stays
+    roughly constant across the rewrite.  Optionally sorts within
+    partitions for better column-statistics pruning.  Writes to a
+    temporary sibling directory then atomically swaps via rename.
+
+    Returns the number of output files.
+    """
+    import glob
+    import shutil
+
+    files = [
+        f for f in glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out)
+    if sort_col is not None:
+        out = out.sortWithinPartitions(sort_col)
+
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len([f for f in glob.glob(os.path.join(path, "*.parquet"))])

@@ -369,3 +369,22 @@ def test_sessionize_with_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_compact_table(spark, tmp_path):
+    """Many tiny part files collapse to the size-targeted count and the
+    data round-trips exactly."""
+    from data_reconciliation_spark.sources.readers import compact_table
+
+    p = str(tmp_path / "frag")
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(64).write.parquet(p)
+    import glob
+
+    assert len(glob.glob(p + "/*.parquet")) == 64
+    n_files = compact_table(spark, p, target_file_mb=256, sort_col="id")
+    assert n_files == 1  # 10k rows compress far below one 256 MB target
+    back = spark.read.parquet(p)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).first()[0] == 10_000 * 9_999 // 2
