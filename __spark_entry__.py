@@ -43,8 +43,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_history_summary": dq.q_a7_history_summary,
         "a8_uniqueness_profile": dq.q_a8_uniqueness_profile,
         "a9_dedup_gate_24h": dq.q_a9_dedup_gate_24h,
-        # sorts / limits (O1-O5)
+        # sorts / limits (O1-O5) + by-date analysis fetch (GET /analysis)
         "o1_history_ordered": dq.q_o1_history_ordered,
+        "o2_analysis_by_date": dq.q_o2_analysis_by_date,
         "o4_top2_by_distinct": dq.q_o4_top2_by_distinct,
         # temporal joins / sessionization (engine extensions)
         "asof_join": dq.q_asof_join,
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "a8_uniqueness_profile": dq.SQL_A8,
         "a9_dedup_gate_24h": dq.SQL_A9,
         "o1_history_ordered": dq.SQL_O1,
+        "o2_analysis_by_date": dq.SQL_O2,
         "o4_top2_by_distinct": dq.SQL_O4,
         "asof_join": dq.SQL_ASOF,
         "range_join_pairs": dq.SQL_RANGE,

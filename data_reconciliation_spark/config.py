@@ -108,6 +108,58 @@ class ReconConfig:
 
 
 @dataclass(frozen=True)
+class MappingConfig:
+    """Full YAML mapping-file contents: global flags + field rules
+    (``recon``) plus the metadata the reference's loader also returns —
+    ``pair_name`` (normalized system-pair label, used as the saved-run
+    system name when present) and ``pk`` (declared primary-key columns,
+    used when the caller supplies none)."""
+
+    recon: ReconConfig
+    pair_name: str | None = None
+    pk: tuple[str, ...] = ()
+
+
+def load_mapping(path: str) -> MappingConfig:
+    """Load a reconciliation mapping YAML into a :class:`MappingConfig`.
+
+    Parity with the reference loader (``backend/analysis/mapping.py:27-45``
+    over ``mapping.yaml:11-65``):
+
+    * ``pair_name`` is str()'d, stripped, lowercased;
+    * ``pk`` entries are stripped + lowercased;
+    * field names are stripped + lowercased; a field with no rules
+      (``name:`` with empty body) gets the default rule;
+    * per-field keys ``type / fuzzy_match / tolerance / formats / clean /
+      rename_to`` and global ``ignore_nulls`` /
+      ``include_missing_records`` flow into :class:`ReconConfig` exactly
+      as :meth:`ReconConfig.from_dict` defines them.
+    """
+    import yaml
+
+    with open(path, "r") as f:
+        cfg = yaml.safe_load(f) or {}
+    if not isinstance(cfg, dict):
+        raise ValueError(f"mapping file {path!r} must be a YAML mapping")
+    pair_name = cfg.get("pair_name")
+    if pair_name is not None:
+        pair_name = str(pair_name).strip().lower()
+    pk = tuple(str(k).strip().lower() for k in cfg.get("pk", []) or [])
+    fields = {
+        str(name).strip().lower(): (rules or {})
+        for name, rules in (cfg.get("fields") or {}).items()
+    }
+    recon = ReconConfig.from_dict(
+        {
+            "ignore_nulls": cfg.get("ignore_nulls", False),
+            "include_missing_records": cfg.get("include_missing_records", False),
+            "fields": fields,
+        }
+    )
+    return MappingConfig(recon=recon, pair_name=pair_name, pk=pk)
+
+
+@dataclass(frozen=True)
 class BlockingConfig:
     """Knobs for the ER blocking stage (engine extension; no reference
     analog — the reference's only blocking key is the primary key)."""
@@ -143,15 +195,17 @@ class ScoringConfig:
     F1-F3 semantics, ``compare.py:326-403``)."""
 
     url_jw_threshold: float = 0.90       # Jaro-Winkler on normalized URL path
-    text_ratio_threshold: float = 90.0   # indel ratio (rapidfuzz.fuzz.ratio parity)
+    title_jw_threshold: float = 0.95     # Jaro-Winkler on page title
     token_jaccard_threshold: float = 0.70
     simhash_max_hamming: int = 8
     # verdict = weighted vote; a pair is a match when score >= match_threshold
     match_threshold: float = 0.5
-    # cascade prefilter: the expensive Arrow UDF (Jaro-Winkler + indel
-    # ratio) runs only on pairs with at least this much cheap native
-    # evidence.  MUST be <= the verdict thresholds above so skipping is
-    # semantics-preserving (a skipped pair can never be a match).
+    # cascade prefilter: the Arrow UDF (Jaro-Winkler on url/title) runs
+    # only on pairs with at least this much cheap native evidence
+    # (inputs are NULLED otherwise).  MUST be <= the verdict thresholds
+    # above so skipping is semantics-preserving: with NULL UDF features
+    # the score is at most 0.45 * prefilter_jaccard < match_threshold
+    # and no strong-evidence branch can fire.
     prefilter_jaccard: float = 0.30
     prefilter_hamming: int = 16
 

@@ -44,7 +44,10 @@ def apply_renames(df: DataFrame, fields: dict[str, FieldRule]) -> DataFrame:
 def apply_cleaning(df: DataFrame, fields: dict[str, FieldRule]) -> DataFrame:
     exprs = {}
     for c, r in fields.items():
-        if c not in df.columns or not r.clean:
+        # reference gate (etl.py:52): cleaning applies only to fields
+        # declared type=string — a decimal field with a stray `clean:`
+        # list is left untouched
+        if c not in df.columns or not r.clean or r.type != "string":
             continue
         col = F.col(c)
         if "strip_whitespace" in r.clean:

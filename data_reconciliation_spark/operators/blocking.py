@@ -218,21 +218,38 @@ def candidate_pairs(
         blocks = salted_repartition(blocks, "block_key", salt_buckets=16, id_col=id_col)
     blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # Skew guard: per-key counts; drop degenerate giant blocks from the
-    # self-join (broadcast the small hot-key list back).
+    # Skew guard: per-key counts; oversized blocks are excluded from the
+    # quadratic self-join (broadcast the small hot-key list back) but
+    # STAR-PAIRED to their min-id member instead of dropped outright —
+    # a giant *duplicate* cluster shares every band key, so pure
+    # dropping would lose it from every block; the star keeps O(n)
+    # pairs per hot block and preserves connectivity for the
+    # downstream transitive closure.
+    star = None
     if cfg.max_block_size is not None:
         sizes = blocks.groupBy("block_key").count()
         hot = sizes.where(F.col("count") > cfg.max_block_size).select("block_key")
+        hot_members = blocks.join(F.broadcast(hot), "block_key", "semi")
+        reps = hot_members.groupBy("block_key").agg(F.min(id_col).alias("__rep"))
+        star = (
+            hot_members.join(reps, "block_key")
+            .where(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.least(F.col("__rep"), F.col(id_col)).alias("id_a"),
+                F.greatest(F.col("__rep"), F.col(id_col)).alias("id_b"),
+                "block_key",
+            )
+        )
         blocks = blocks.join(F.broadcast(hot), "block_key", "left_anti")
 
     a = blocks.select(F.col("block_key"), F.col(id_col).alias("id_a"))
     b = blocks.select(F.col("block_key"), F.col(id_col).alias("id_b"))
-    pairs = (
-        a.join(b, "block_key")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.min("block_key").alias("block_key"))
+    pairs = a.join(b, "block_key").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "block_key"
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    pairs = pairs.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
     if cfg.dictionary_ids:
         # map compact uids back to real ids and re-orient so
         # id_a < id_b holds on the REAL id domain (the dedup ordering

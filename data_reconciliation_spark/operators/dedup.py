@@ -70,12 +70,20 @@ def ngram_jaccard_pairs(
     block_col: Column | str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_block_size: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate pairs by token n-gram Jaccard within blocks.
 
     ``block_col`` defaults to a cheap length-bucket key (near-dups have
     near-equal token counts); at corpus scale use minhash_lsh_pairs —
-    this operator is the verify kernel / small-block path.
+    this operator is the verify kernel / small-block path.  The default
+    length bucket degenerates to near-global blocks on homogeneous
+    corpora, so ``max_block_size`` (same O(n²) guard as the siblings)
+    star-pairs oversized blocks to their min-id member: identical-doc
+    clusters keep jaccard-1.0 star pairs (connectivity preserved);
+    unrelated same-bucket members fail the threshold on the star pair
+    exactly as they would pairwise.  Pass ``max_block_size=None`` for
+    exact all-pairs semantics (e.g. oracle checks).
     """
     toks = F.split(normalized_text(F.col(text_col)), " ")
     if block_col is None:
@@ -88,6 +96,27 @@ def ngram_jaccard_pairs(
         F.col(id_col), (F.col(block_col) if isinstance(block_col, str) else block_col).alias("block"),
         F.array_distinct(grams).alias("grams"),
     )
+    star = None
+    if max_block_size is not None:
+        base = base.persist()
+        sizes = base.groupBy("block").count()
+        hot = sizes.where(F.col("count") > max_block_size).select("block")
+        hot_members = base.join(F.broadcast(hot), "block", "semi")
+        reps = hot_members.groupBy("block").agg(
+            F.min(id_col).alias("__rep"),
+            F.min_by("grams", F.col(id_col)).alias("__rep_grams"),
+        )
+        star = (
+            hot_members.join(reps, "block")
+            .where(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("__rep_grams").alias("grams_a"),
+                F.col("grams").alias("grams_b"),
+            )
+        )
+        base = base.join(F.broadcast(hot), "block", "left_anti")
     a = base.select(
         F.col(id_col).alias("id_a"), "block", F.col("grams").alias("grams_a")
     )
@@ -97,10 +126,18 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size(F.array_union("grams_a", "grams_b"))
     jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
-    return (
+    cand = (
         a.join(b, "block")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jac)
+        .select("id_a", "id_b", "grams_a", "grams_b")
+    )
+    if star is not None:
+        # disjoint by construction: each doc carries exactly one block
+        # key, and hot blocks are excluded from the pairwise join — no
+        # dedup shuffle needed
+        cand = cand.unionByName(star)
+    return (
+        cand.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -150,8 +187,16 @@ def minhash_lsh_pairs(
     # Hot-bucket guard (same pattern as blocking.candidate_pairs): a
     # degenerate band key (e.g. every near-empty doc sharing one band)
     # would be an unguarded O(n^2) self-join partition.  Oversized
-    # buckets are dropped from pairwise generation; the doc's other
-    # bands retain recall.
+    # buckets are STAR-PAIRED instead of dropped: every member pairs
+    # with the bucket's min-id representative — O(n) pairs per bucket,
+    # and connectivity (hence cluster-level recall under transitive
+    # closure) is preserved.  Dropping was wrong for giant *duplicate*
+    # clusters: identical docs share EVERY band, so no other band could
+    # retain recall and the biggest duplicate groups were missed
+    # entirely.  NOTE pair-level output for over-cap buckets is the
+    # star subset, not all O(n^2) pairs — oracle-exact configurations
+    # must pass ``max_block_size=None``.
+    star_pairs = None
     if cfg.max_block_size is not None:
         hot = (
             keyed.groupBy("band_key")
@@ -159,15 +204,23 @@ def minhash_lsh_pairs(
             .where(F.col("count") > cfg.max_block_size)
             .select("band_key")
         )
+        hot_members = keyed.join(F.broadcast(hot), "band_key", "semi")
+        reps = hot_members.groupBy("band_key").agg(F.min(id_col).alias("__rep"))
+        star_pairs = (
+            hot_members.join(reps, "band_key")
+            .where(F.col(id_col) != F.col("__rep"))
+            # rep is the bucket min, so rep < member always
+            .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
         keyed = keyed.join(F.broadcast(hot), "band_key", "left_anti")
     a = keyed.select("band_key", F.col(id_col).alias("id_a"))
     b = keyed.select("band_key", F.col(id_col).alias("id_b"))
-    pairs = (
-        a.join(b, "band_key")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    pairs = a.join(b, "band_key").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
     )
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    pairs = pairs.distinct()
     if verify_threshold is not None:
         ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
         tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
@@ -250,12 +303,37 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_idx", "c.chunk")
+    # Oversized (chunk_idx, chunk) buckets are star-paired to the
+    # bucket's min-id representative instead of dropped (O(n) pairs per
+    # bucket).  Giant *duplicate* clusters share every chunk, so
+    # dropping lost them entirely; the star keeps connectivity for
+    # transitive clustering.  Star recall is exact for identical-
+    # signature clusters (hamming(rep, m) = 0); for mixed hot buckets it
+    # is best-effort — oracle-exact configurations must pass
+    # ``max_bucket_size=None``.
+    star = None
     if max_bucket_size is not None:
         hot = (
             chunks.groupBy("chunk_idx", "chunk")
             .count()
             .where(F.col("count") > max_bucket_size)
             .select("chunk_idx", "chunk")
+        )
+        hot_members = chunks.join(F.broadcast(hot), ["chunk_idx", "chunk"], "semi")
+        reps = hot_members.groupBy("chunk_idx", "chunk").agg(
+            F.min(id_col).alias("__rep"),
+            F.min_by("simhash", F.col(id_col)).alias("__rep_sim"),
+        )
+        star = (
+            hot_members.join(reps, ["chunk_idx", "chunk"])
+            .where(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.bit_count(
+                    F.col("__rep_sim").bitwiseXOR(F.col("simhash"))
+                ).alias("__h"),
+            )
         )
         chunks = chunks.join(F.broadcast(hot), ["chunk_idx", "chunk"], "left_anti")
     a = chunks.select(
@@ -265,11 +343,16 @@ def simhash_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_idx", "chunk"
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
+    cand = (
         a.join(b, ["chunk_idx", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first(hamming).alias("hamming"))
+        .select("id_a", "id_b", hamming.alias("__h"))
+    )
+    if star is not None:
+        cand = cand.unionByName(star)
+    return (
+        cand.groupBy("id_a", "id_b")
+        .agg(F.first("__h").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
 

@@ -144,6 +144,16 @@ class ReconcileResult:
     n_new_only: int = 0
     field_exception_count: int = 0
     per_field_exceptions: dict[str, int] = dc_field(default_factory=dict)
+    # cached flagged-join handle; release() when done with `exceptions`
+    _persisted: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist the cached flagged join backing ``exceptions``.
+        Call once the exceptions DataFrame has been written/collected;
+        ``exceptions`` stays usable afterwards (it recomputes)."""
+        if self._persisted is not None:
+            self._persisted.unpersist()
+            self._persisted = None
 
     def to_result(self) -> dict:
         """Reference-shaped ``{match_pct, exceptions}`` (collects — use on
@@ -208,14 +218,29 @@ def reconcile(
     old_only = F.col(_PRESENT_OLD).isNotNull() & F.col(_PRESENT_NEW).isNull()
     new_only = F.col(_PRESENT_OLD).isNull() & F.col(_PRESENT_NEW).isNotNull()
 
+    # The full-outer join + per-field mismatch flags (including any
+    # fuzzy Arrow-UDF evaluation) are computed ONCE and cached: the
+    # eager metrics aggregation below materializes the cache, and the
+    # lazy ``exceptions`` melt then reads the same blocks instead of
+    # re-executing the join (round-2 verdict: the join ran twice — at
+    # warehouse scale, two sort-merge joins of both snapshots).  The
+    # cache is released via ``ReconcileResult.release()``; at 100-TB
+    # scale this persist is a written intermediate table, same dataflow.
+    from pyspark.storagelevel import StorageLevel
+
+    flag_names = {c: f"__mm_{i}" for i, c in enumerate(active_cols)}
+    flagged = merged.select(
+        "*", *[mismatch_cols[c].alias(flag_names[c]) for c in active_cols]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
     # Single aggregation pass computes every count the match formula needs
     # (A1/A2) — one job, map-side partial aggregation, no collect loops.
-    agg_row = merged.agg(
+    agg_row = flagged.agg(
         F.sum(in_both.cast("long")).alias("n_both"),
         F.sum(old_only.cast("long")).alias("n_old_only"),
         F.sum(new_only.cast("long")).alias("n_new_only"),
         *[
-            F.sum((in_both & mismatch_cols[c]).cast("long")).alias(f"exc_{i}")
+            F.sum((in_both & F.col(flag_names[c])).cast("long")).alias(f"exc_{i}")
             for i, c in enumerate(active_cols)
         ],
     ).collect()[0]
@@ -241,7 +266,7 @@ def reconcile(
     field_structs = F.array(
         *[
             F.when(
-                mismatch_cols[c],
+                F.col(flag_names[c]),
                 F.struct(
                     F.lit(c).alias("field"),
                     _s(F.col(c + _OLD)).alias("old"),
@@ -256,21 +281,21 @@ def reconcile(
     )
 
     field_exc_df = (
-        merged.where(in_both)
+        flagged.where(in_both)
         .select(*pk_cols, F.explode(F.filter(field_structs, lambda x: x.isNotNull())).alias("e"))
         .select(*pk_cols, "e.field", "e.old", "e.new", "e.change_type")
     )
 
     if cfg.include_missing_records:
         # R2 (compare.py:229-254).
-        deleted = merged.where(old_only).select(
+        deleted = flagged.where(old_only).select(
             *pk_cols,
             F.lit(RECORD_STATUS_FIELD).alias("field"),
             F.lit("EXISTS").alias("old"),
             F.lit("MISSING").alias("new"),
             F.lit("deleted_record").alias("change_type"),
         )
-        added = merged.where(new_only).select(
+        added = flagged.where(new_only).select(
             *pk_cols,
             F.lit(RECORD_STATUS_FIELD).alias("field"),
             F.lit("MISSING").alias("old"),
@@ -289,4 +314,5 @@ def reconcile(
         n_new_only=n_new_only,
         field_exception_count=field_exceptions,
         per_field_exceptions=per_field,
+        _persisted=flagged,
     )

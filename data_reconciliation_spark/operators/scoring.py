@@ -1,23 +1,35 @@
 """Pair-scoring stage: cascaded similarity features
-(SURVEY.md §7 step 5).
+(SURVEY.md §7 step 5; BASELINE.json north_star stage 2 — "batched
+Jaro-Winkler on url/title plus token-Jaccard and SimHash distance on
+extracted text").
 
 The reference applies its similarity predicate row-by-row after the
 equi-join (``compare.py:352-375``); the engine generalizes it into a
 three-tier cascade chosen by measured cost per pair:
 
 1. **per-page precompute** (once per page, not per pair): canonical URL,
-   normalized text, 64-bit SimHash (the one per-page pandas UDF —
-   ~260us/text, which is why it must never run per pair).
+   title, hashed distinct-token set, 64-bit SimHash (the one per-page
+   pandas UDF — ~260us/text, which is why it must never run per pair).
 2. **native pair features** (JVM, whole-stage codegen, every candidate
-   pair): token-set Jaccard via ``array_intersect`` on split tokens, and
-   SimHash Hamming distance via ``bit_count(xor)``.
-3. **Arrow-batched pair UDF** (Jaro-Winkler on canonical URLs + indel
-   ratio on normalized text, ~90us/pair) — evaluated ONLY on pairs that
-   pass a cheap native prefilter (Jaccard or Hamming evidence).  Pairs
-   failing the prefilter cannot reach the match verdict under any
-   threshold configuration (prefilter <= verdict thresholds), so
-   skipping them is semantics-preserving, and at web scale it prunes the
-   overwhelming majority of candidates before any Python runs.
+   pair): token-set Jaccard via one ``array_intersect`` over
+   precomputed 8-byte token hashes (|union| = |A|+|B|-|inter|, no union
+   array built), and SimHash Hamming distance via ``bit_count(xor)``.
+3. **Arrow-batched pair UDF** (numpy-vectorized Jaro-Winkler on
+   canonical URL + title): inputs are NULLED for pairs failing the
+   cheap native prefilter, so the Arrow transfer ships null bitmaps
+   (not strings) for pruned pairs and the kernel returns in O(1) per
+   null row.  Pairs failing the prefilter cannot reach the match
+   verdict under any threshold configuration (prefilter <= verdict
+   thresholds), so the gating is semantics-preserving, and at web scale
+   it skips the Python work for the overwhelming majority of
+   candidates.
+
+Note the full extracted text is never carried into the pair table at
+all — the per-pair payload is (canon_url, title, token hashes, simhash)
+≈ 400 bytes vs ~1.5 KB with raw text, which is the difference between a
+cache/shuffle-bound stage and a compute-bound one at 32 cores.  The
+exact rapidfuzz-parity indel kernel (``indel_ratio_*``) remains the F2
+fuzzy comparator of the reconcile path, where DuckDB oracle-checks it.
 
 The scoring stage itself is map-only: every shuffle happens in blocking.
 """
@@ -31,51 +43,80 @@ from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
 from data_reconciliation_spark.config import BlockingConfig, ScoringConfig
-from data_reconciliation_spark.functions.normalize import canonical_url, normalized_text
+from data_reconciliation_spark.functions.normalize import (
+    canonical_url,
+    extract_title_from_html,
+    normalized_text,
+)
 from data_reconciliation_spark.functions.similarity import (
-    indel_ratio_py,
-    jaro_winkler_py,
+    jaro_winkler_batch,
     simhash64_udf,
 )
 from data_reconciliation_spark.operators.blocking import candidate_pairs
 
-JW_RATIO_TYPE = T.StructType(
+JW_FEATURES_TYPE = T.StructType(
     [
         T.StructField("url_jw", T.DoubleType(), True),
-        T.StructField("text_ratio", T.DoubleType(), True),
+        T.StructField("title_jw", T.DoubleType(), True),
     ]
 )
 
 
-@pandas_udf(JW_RATIO_TYPE)
-def jw_ratio_udf(
-    url_a: pd.Series, url_b: pd.Series, text_a: pd.Series, text_b: pd.Series
+@pandas_udf(JW_FEATURES_TYPE)
+def jw_features_udf(
+    url_a: pd.Series, url_b: pd.Series, title_a: pd.Series, title_b: pd.Series
 ) -> pd.DataFrame:
-    """Jaro-Winkler(url) + indel-ratio(text) for one Arrow batch of
-    *prefiltered* pairs."""
-    jw = [jaro_winkler_py(a, b) for a, b in zip(url_a, url_b)]
-    ratio = [indel_ratio_py(a, b) for a, b in zip(text_a, text_b)]
+    """Numpy-vectorized Jaro-Winkler on (canonical URL, title) for one
+    Arrow batch; NaN (-> SQL NULL) where either side is null."""
     return pd.DataFrame(
         {
-            "url_jw": pd.array(jw, dtype="float64"),
-            "text_ratio": pd.array(ratio, dtype="float64"),
+            "url_jw": jaro_winkler_batch(list(url_a), list(url_b)),
+            "title_jw": jaro_winkler_batch(list(title_a), list(title_b)),
         },
         index=url_a.index,
     )
 
 
 def prepare_pages(pages: DataFrame) -> DataFrame:
-    """Per-page scoring payload: canonical URL, normalized text, SimHash.
-    One map pass; SimHash (the only Python) runs once per page."""
+    """Per-page scoring payload: canonical URL, title, normalized text,
+    hashed distinct-token set, SimHash.  One map pass; SimHash (the only
+    per-page Python) runs once per page.
+
+    ``tok_hashes`` (8-byte xxhash64 per distinct token) is precomputed
+    HERE because the pair-level Jaccard otherwise re-runs regex split +
+    array_distinct on BOTH texts for every candidate pair — O(pairs)
+    rework of an O(pages) job — and because cached/shuffled long arrays
+    deserialize as one primitive array, not 40 string objects, per side
+    per pair.  Hash collisions perturb a Jaccard by <= 1/|union| with
+    probability ~2^-64 per token pair — far below the decision
+    thresholds.
+
+    ``title`` comes from an explicit column when present, else from
+    ``html`` (reference-identical extraction), else NULL (the verdict
+    then leans on the remaining features).
+    """
+    if "title" in pages.columns:
+        title = F.col("title")
+    elif "html" in pages.columns:
+        title = extract_title_from_html("html")
+    else:
+        title = F.lit(None).cast("string")
+    norm = normalized_text("text")
     return pages.select(
         "url",
         canonical_url("url").alias("canon_url"),
-        normalized_text("text").alias("norm_text"),
-        simhash64_udf(normalized_text("text")).alias("simhash"),
+        title.alias("title"),
+        norm.alias("norm_text"),
+        F.array_distinct(
+            F.transform(F.split(norm, " "), lambda t: F.xxhash64(t))
+        ).alias("tok_hashes"),
+        simhash64_udf(norm).alias("simhash"),
     )
 
 
 def _native_jaccard(a, b):
+    """Token-set Jaccard from raw text columns (fallback when the
+    precomputed ``tok_hashes`` payload is absent)."""
     ta = F.array_distinct(F.split(a, " "))
     tb = F.array_distinct(F.split(b, " "))
     inter = F.size(F.array_intersect(ta, tb))
@@ -83,54 +124,129 @@ def _native_jaccard(a, b):
     return F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
 
 
+def _hashed_jaccard():
+    """Jaccard over precomputed token-hash arrays: ONE array_intersect
+    on plain attributes; |union| = |A|+|B|-|inter| so no union array is
+    ever built.  The intersect size is bound as a lambda variable via a
+    single-element transform so it is evaluated exactly once per pair
+    (a naive when/otherwise would re-run the intersect per reference)."""
+
+    def _jac(i):
+        union = F.size("tok_hashes_a") + F.size("tok_hashes_b") - i
+        return F.when(union == 0, F.lit(1.0)).otherwise(i.cast("double") / union)
+
+    return F.element_at(
+        F.transform(
+            F.array(F.size(F.array_intersect("tok_hashes_a", "tok_hashes_b"))),
+            _jac,
+        ),
+        1,
+    )
+
+
 def score_pairs(pairs: DataFrame, cfg: ScoringConfig | None = None) -> DataFrame:
     """Score candidate pairs carrying per-side payload columns
-    ``canon_url_{a,b}, norm_text_{a,b}, simhash_{a,b}``.
+    ``canon_url_{a,b}, simhash_{a,b}`` plus ``tok_hashes_{a,b}`` (fast
+    path) or ``norm_text_{a,b}`` (fallback), and optionally
+    ``title_{a,b}``.
 
     Emits features + weighted score + is_match verdict.  Tier-2 native
-    features cover every pair; the tier-3 UDF touches only prefilter
-    survivors (NULL features otherwise — such pairs are never matches).
+    features cover every pair; the tier-3 UDF sees NULL inputs for
+    non-survivors of the prefilter (NULL features — such pairs are never
+    matches).
     """
     cfg = cfg or ScoringConfig()
 
-    scored = pairs.withColumn(
-        "token_jaccard", _native_jaccard(F.col("norm_text_a"), F.col("norm_text_b"))
-    ).withColumn(
-        "simhash_hamming",
-        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("int"),
-    )
-
-    prefilter = (F.col("token_jaccard") >= cfg.prefilter_jaccard) | (
-        F.col("simhash_hamming") <= cfg.prefilter_hamming
-    )
-    expensive = F.when(
-        prefilter,
-        jw_ratio_udf(
-            F.col("canon_url_a"),
-            F.col("canon_url_b"),
-            F.col("norm_text_a"),
-            F.col("norm_text_b"),
-        ),
+    # Native features are computed inside a single-element explode — a
+    # Generate plan node.  This is a deliberate OPTIMIZER BARRIER: a
+    # downstream ``.where("is_match")`` is pushed down by Catalyst, and
+    # with plain ``withColumn`` aliases the pushdown INLINES the feature
+    # expressions into the filter — measured plan damage: the jaccard
+    # tree appeared 8x and the Arrow UDF was extracted into a SECOND
+    # ArrowEvalPython, doubling all Python work.  Filters cannot be
+    # pushed below a Generate whose output they reference, so each
+    # feature is evaluated exactly once (pinned by
+    # tests/test_properties_and_plans.py plan regression).
+    if "tok_hashes_a" in pairs.columns and "tok_hashes_b" in pairs.columns:
+        jaccard = _hashed_jaccard()
+    else:
+        jaccard = _native_jaccard(F.col("norm_text_a"), F.col("norm_text_b"))
+    feat = F.explode(
+        F.array(
+            F.struct(
+                jaccard.alias("token_jaccard"),
+                F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+                .cast("int")
+                .alias("simhash_hamming"),
+            )
+        )
     )
     scored = (
-        scored.withColumn("__e", expensive)
-        .withColumn("url_jw", F.col("__e.url_jw"))
-        .withColumn("text_ratio", F.col("__e.text_ratio"))
-        .drop("__e")
+        pairs.withColumn("__f", feat)
+        .select("*", "__f.token_jaccard", "__f.simhash_hamming")
+        .drop("__f")
     )
 
+    # The prefilter gates the expensive kernel by NULLING its inputs:
+    # Python still sees every row in the Arrow batch, but for pruned
+    # pairs it receives nulls (the kernel returns NaN in O(1)) and the
+    # Arrow transfer ships null bitmaps instead of string bytes.  Pairs
+    # failing the prefilter cannot reach the match verdict under any
+    # threshold configuration (prefilter <= verdict thresholds), so NULL
+    # features are semantics-preserving.  This keeps scoring single-scan
+    # (a filter+union split would execute the upstream pair join twice).
+    pref_ok = F.coalesce(
+        (F.col("token_jaccard") >= cfg.prefilter_jaccard)
+        | (F.col("simhash_hamming") <= cfg.prefilter_hamming),
+        F.lit(False),
+    )
+
+    def gated(c: str):
+        if c not in pairs.columns:
+            return F.lit(None).cast("string")
+        return F.when(pref_ok, F.col(c))
+
+    expensive = jw_features_udf(
+        gated("canon_url_a"),
+        gated("canon_url_b"),
+        gated("title_a"),
+        gated("title_b"),
+    )
+
+    # Second Generate barrier: every UDF-derived output (url_jw,
+    # title_jw, score, is_match) is emitted as a GENERATED attribute.
+    # A plain project alias would be inlined into a pushed-down filter,
+    # and the inlined copy of the UDF expression is extracted into a
+    # second ArrowEvalPython — doubling Python + Arrow cost (measured
+    # 38s -> 20s on the 8-core scaling leg when fixed).
+    url_jw = expensive["url_jw"]
+    title_jw = expensive["title_jw"]
     score = (
         0.45 * F.coalesce(F.col("token_jaccard"), F.lit(0.0))
-        + 0.35 * F.coalesce(F.col("text_ratio") / 100.0, F.lit(0.0))
-        + 0.20 * F.coalesce(F.col("url_jw"), F.lit(0.0))
+        + 0.35 * F.coalesce(title_jw, F.lit(0.0))
+        + 0.20 * F.coalesce(url_jw, F.lit(0.0))
     )
-    strong_text = (
+    strong_evidence = (
         (F.col("token_jaccard") >= cfg.token_jaccard_threshold)
-        | (F.col("text_ratio") >= cfg.text_ratio_threshold)
+        | (title_jw >= cfg.title_jw_threshold)
         | (F.col("simhash_hamming") <= cfg.simhash_max_hamming)
     )
-    return scored.withColumn("score", score).withColumn(
-        "is_match", strong_text & (F.col("score") >= cfg.match_threshold)
+    out = F.explode(
+        F.array(
+            F.struct(
+                url_jw.alias("url_jw"),
+                title_jw.alias("title_jw"),
+                score.alias("score"),
+                (strong_evidence & (score >= cfg.match_threshold)).alias(
+                    "is_match"
+                ),
+            )
+        )
+    )
+    return (
+        scored.withColumn("__o", out)
+        .select("*", "__o.url_jw", "__o.title_jw", "__o.score", "__o.is_match")
+        .drop("__o")
     )
 
 
@@ -141,7 +257,8 @@ def block_score_pipeline(
 ) -> DataFrame:
     """blocking -> candidate pairs (with per-page payloads) -> cascade
     scoring.  The per-page payload is computed BEFORE the pair explosion
-    so nothing per-page runs per pair."""
+    so nothing per-page runs per pair, and the payload joined onto pairs
+    carries NO raw text (canon_url, title, token hashes, simhash only)."""
     # ONE scan of the raw page table: the prepared projection feeds both
     # blocking (shingles over norm_text — normalized_text is idempotent,
     # so re-normalizing inside with_blocking_keys changes nothing) and
@@ -159,13 +276,15 @@ def block_score_pipeline(
     pa = prep.select(
         F.col("url").alias("url_a"),
         F.col("canon_url").alias("canon_url_a"),
-        F.col("norm_text").alias("norm_text_a"),
+        F.col("title").alias("title_a"),
+        F.col("tok_hashes").alias("tok_hashes_a"),
         F.col("simhash").alias("simhash_a"),
     )
     pb = prep.select(
         F.col("url").alias("url_b"),
         F.col("canon_url").alias("canon_url_b"),
-        F.col("norm_text").alias("norm_text_b"),
+        F.col("title").alias("title_b"),
+        F.col("tok_hashes").alias("tok_hashes_b"),
         F.col("simhash").alias("simhash_b"),
     )
     pairs = pairs.join(pa, "url_a").join(pb, "url_b")

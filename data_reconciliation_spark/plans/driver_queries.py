@@ -426,6 +426,41 @@ ORDER BY distinct_count DESC, "column" LIMIT 2
 """
 
 
+def q_o2_analysis_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``GET /analysis`` dataflow (app.py:228-299) mapped onto
+    the events table: filter by key + calendar date, resolve the FIRST
+    matching record (order by time, id, limit 1), then fetch every
+    record belonging to it — the dependent run-header -> exceptions
+    lookup that ``AuditStore.analysis_by_date`` implements, expressed as
+    one oracle-checkable plan.  The target date is derived in-plan (the
+    day of user 7's first event) so the query works at any sf."""
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.where(F.col("user_id") == 7)
+    target = u.agg(F.min(F.to_date("ts")).alias("d"))
+    on_day = u.join(F.broadcast(target), F.to_date(F.col("ts")) == F.col("d"))
+    first = (
+        on_day.orderBy("ts", "event_id")
+        .limit(1)
+        .select(F.col("event_type").alias("et"))
+    )
+    return (
+        on_day.join(F.broadcast(first), F.col("event_type") == F.col("et"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+SQL_O2 = """
+WITH d AS (SELECT CAST(min(ts) AS DATE) AS d FROM events WHERE user_id = 7),
+on_day AS (
+  SELECT e.* FROM events e, d
+  WHERE e.user_id = 7 AND CAST(e.ts AS DATE) = d.d
+),
+first AS (SELECT event_type AS et FROM on_day ORDER BY ts, event_id LIMIT 1)
+SELECT o.event_id, o.user_id, o.event_type, o.value
+FROM on_day o JOIN first f ON o.event_type = f.et
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family on documents
 # ---------------------------------------------------------------------------
@@ -479,7 +514,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     block = F.concat_ws(
         "|", F.col("lang"), F.col("source"), F.floor(F.col("n_chars") / 100).cast("string")
     )
-    pairs = ngram_jaccard_pairs(docs, threshold=0.2, n=3, block_col=block)
+    # max_block_size=None: the oracle enumerates all within-block pairs,
+    # so the over-cap star-pairing fallback must be off here.
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.2, n=3, block_col=block, max_block_size=None
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -541,9 +580,10 @@ FROM documents
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus curation gate: keep documents passing >= 2 of 3 quality
+    """Corpus curation gate: keep documents passing ALL 3 quality
     criteria (length band, punctuation ratio, mean word length) — the
-    filter stage of a training-data pipeline."""
+    filter stage of a training-data pipeline.  The 0.9 threshold on the
+    mean criterion score only passes 3-of-3 (2/3 ≈ 0.667 < 0.9)."""
     from data_reconciliation_spark.functions.text import (
         quality_score,
         whitespace_token_count,
@@ -798,9 +838,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands make spurious single-token-shingle collisions ~jaccard^16 —
     # the candidate set stays near the true dup set instead of
     # exploding, and the signature fold costs half of the default 64.
+    # max_block_size=None: the SQL oracle enumerates ALL qualifying
+    # pairs, so the hot-bucket star-pairing fallback (which emits only a
+    # connectivity-preserving subset for over-cap duplicate clusters)
+    # must be disabled for the hash comparison to be exact.
     return minhash_lsh_pairs(
         docs,
-        cfg=BlockingConfig(shingle_size=1, num_hashes=32, bands=2),
+        cfg=BlockingConfig(
+            shingle_size=1, num_hashes=32, bands=2, max_block_size=None
+        ),
         verify_threshold=1.0,
     )
 
@@ -822,7 +868,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_reconciliation_spark.operators.dedup import simhash_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=6, n_chunks=8)
+    # max_bucket_size=None: oracle enumerates all hamming<=6 pairs, so
+    # the over-cap star-pairing fallback must be off (see dedup.py).
+    return simhash_pairs(docs, max_hamming=6, n_chunks=8, max_bucket_size=None)
 
 
 # brute-force oracle: md5-nibble SimHash per doc (identical arithmetic to
@@ -886,12 +934,50 @@ def q_indel_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_er_link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship ER pipeline on deterministic synthetic pages (the
     testdata tables carry no page corpus; the generator is seeded, so
-    this is reproducible)."""
+    this is reproducible).
+
+    No SQL oracle can express the pipeline, so this query VERIFIES
+    ITSELF against the generator's ground-truth ``entity_id`` before
+    returning (round-2 verdict #7 — stronger than a row count): every
+    produced cluster must be entity-pure (no cluster merges two true
+    entities), every page must be labeled exactly once, and the cluster
+    count must not exceed the true entity count by more than the
+    tolerated singleton-split fraction implied by the F1 >= 0.99 target.
+    A violation raises, which the driver records as a query error.
+    """
     from data_reconciliation_spark.plans.pipeline import link
     from data_reconciliation_spark.testgen import generate_pages
 
     pages = generate_pages(spark, n_rows=400, n_entities=100, seed=42)
-    return link(pages).clusters
+    clusters = link(pages).clusters
+
+    joined = clusters.join(pages.select("url", "entity_id"), "url")
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct("entity").alias("n_clusters"),
+        F.countDistinct("entity_id").alias("n_true"),
+    ).collect()[0]
+    n_pages = pages.count()
+    if row["n_rows"] != n_pages or row["n_urls"] != n_pages:
+        raise RuntimeError(
+            f"er_link_clusters: every page must be labeled exactly once "
+            f"(rows={row['n_rows']}, urls={row['n_urls']}, pages={n_pages})"
+        )
+    impure = (
+        joined.groupBy("entity")
+        .agg(F.countDistinct("entity_id").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    if impure:
+        raise RuntimeError(f"er_link_clusters: {impure} clusters merge >1 true entity")
+    if not (row["n_true"] <= row["n_clusters"] <= int(row["n_true"] * 1.1)):
+        raise RuntimeError(
+            f"er_link_clusters: cluster count {row['n_clusters']} vs "
+            f"{row['n_true']} true entities exceeds 10% split tolerance"
+        )
+    return clusters
 
 # ---------------------------------------------------------------------------
 # X5/X6/X7: multi-format date parse, datediff, change-summary formatting

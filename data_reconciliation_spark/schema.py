@@ -62,7 +62,7 @@ SCORED_PAIR_SCHEMA = T.StructType(
         T.StructField("url_b", T.StringType(), False),
         T.StructField("block_key", T.StringType(), False),
         T.StructField("url_jw", T.DoubleType(), True),
-        T.StructField("text_ratio", T.DoubleType(), True),
+        T.StructField("title_jw", T.DoubleType(), True),
         T.StructField("token_jaccard", T.DoubleType(), True),
         T.StructField("simhash_hamming", T.IntegerType(), True),
         T.StructField("score", T.DoubleType(), True),

@@ -70,7 +70,22 @@ def dense_sorted_index(
         .withColumn(idx_name, (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__pid", "__rn", "__off")
     )
+    # expose the persisted source so callers can release the cached
+    # blocks once `out` has been materialized (unpersisting EARLIER
+    # would re-sample the range boundaries and desynchronize the
+    # offsets from the partitioning)
+    out._dsi_persisted_source = parted
     return out
+
+
+def release_index_source(df: DataFrame) -> None:
+    """Unpersist the cached range-partitioned source behind a
+    :func:`dense_sorted_index` result.  Call AFTER the result has been
+    fully materialized (written / collected); a long-running driver that
+    skips this leaks cached blocks per call."""
+    src = getattr(df, "_dsi_persisted_source", None)
+    if src is not None:
+        src.unpersist()
 
 
 class CheckpointManager:
@@ -208,9 +223,13 @@ class AuditStore:
         # individual exceptions stably.  dense_sorted_index assigns the
         # content-ordered 0..n-1 index with balanced range partitions —
         # no Window.partitionBy(lit(1)) single-task global sort.
-        dense_sorted_index(exceptions, "exc_idx").withColumn(
-            "run_id", F.lit(run_id)
-        ).write.mode("append").parquet(self._table("exceptions"))
+        indexed = dense_sorted_index(exceptions, "exc_idx")
+        try:
+            indexed.withColumn("run_id", F.lit(run_id)).write.mode(
+                "append"
+            ).parquet(self._table("exceptions"))
+        finally:
+            release_index_source(indexed)
         return run_id
 
     def read_runs(self) -> DataFrame | None:
@@ -292,3 +311,41 @@ class AuditStore:
         if pk:
             out = out.where(F.col("primary_key_used") == pk)
         return out.orderBy("date")
+
+    def analysis_by_date(
+        self, system_name: str, date_str: str, pk: str | None = None
+    ) -> dict | None:
+        """Reference ``GET /analysis`` analog (app.py:228-299): filter
+        runs by system (+ optional pk) and calendar date
+        (``date(date) == target``), take the FIRST matching run
+        (deterministically: earliest timestamp, run_id tiebreak — the
+        reference's ``query.first()`` is insertion-ordered), and return
+        its header fields plus the run's exceptions DataFrame.
+
+        Returns ``None`` when no run matches (the reference's 404) and
+        raises ``ValueError`` on a bad date string (the 400)."""
+        from datetime import datetime as _dt
+
+        try:
+            _dt.strptime(date_str, "%Y-%m-%d")
+        except ValueError:
+            raise ValueError("Invalid date format. Use YYYY-MM-DD")
+        runs = self.read_runs()
+        if runs is None:
+            return None
+        q = runs.where(F.col("system_name") == system_name)
+        if pk:
+            q = q.where(F.col("primary_key_used") == pk)
+        q = q.where(F.to_date("date") == F.lit(date_str).cast("date"))
+        first = q.orderBy("date", "run_id").limit(1).collect()
+        if not first:
+            return None
+        rec = first[0]
+        return {
+            "system_name": rec["system_name"],
+            "date": rec["date"].strftime("%Y-%m-%d"),
+            "match_rate": rec["match_rate"],
+            "primary_key_used": rec["primary_key_used"],
+            "analysis_id": rec["run_id"],
+            "exceptions": self.read_exceptions(rec["run_id"]),
+        }

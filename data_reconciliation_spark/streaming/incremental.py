@@ -125,65 +125,65 @@ def sessionize_events(
         f"{key_col} long, session_start timestamp, session_end timestamp, "
         "n_events long"
     )
-    state_schema = "start long, end long, n long"
+    # state holds EVERY open session, not just the newest: with
+    # out-of-order arrival across micro-batches, an apparently
+    # gap-separated earlier session may still be bridged by a future
+    # event (within the watermark), so nothing may close before the
+    # watermark passes its end+gap.  Closing "all but the last" per
+    # batch — the previous design — split sessions whenever a bridging
+    # event arrived in a later batch (caught by the random-batch-split
+    # differential fuzz test, round-2 verdict #10).
+    state_schema = "starts array<long>, ends array<long>, ns array<long>"
 
     def fn(key, pdfs, state: GroupState):
-        # Robust to out-of-order micro-batches: events are sorted and
-        # gap-split *within* the batch, the stored session summary is
-        # merged as one more interval, and the timeout is never set at or
-        # below the current watermark (that raises
-        # INVALID_TIMEOUT_TIMESTAMP and kills the query) — if the
-        # watermark already passed end+gap the session closes immediately.
         wm_ms = state.getCurrentWatermarkMs()
-        closed = []
-        if state.hasTimedOut:
-            start, end, n = state.get
-            closed.append((key[0], start, end, n))
-            state.remove()
-        else:
+        intervals: list[list[int]] = []
+        if state.exists:
+            starts, ends, ns = state.get
+            intervals = [[s, e, n] for s, e, n in zip(starts, ends, ns)]
+        if not state.hasTimedOut:
             rows = _pd.concat(list(pdfs), ignore_index=True)
             ts = sorted(
                 int(t)
                 for t in rows[ts_col].astype("datetime64[us]").astype("int64")
                 // 1_000_000
             )
-            intervals: list[list[int]] = []
             for t in ts:
-                if intervals and t - intervals[-1][1] <= gap_seconds:
-                    intervals[-1][1] = t
-                    intervals[-1][2] += 1
-                else:
-                    intervals.append([t, t, 1])
-            if state.exists:
-                intervals.append([*state.get])
-                intervals.sort(key=lambda iv: iv[0])
-            sessions: list[list[int]] = []
-            for iv in intervals:
-                if sessions and iv[0] - sessions[-1][1] <= gap_seconds:
-                    sessions[-1][1] = max(sessions[-1][1], iv[1])
-                    sessions[-1][2] += iv[2]
-                else:
-                    sessions.append(iv)
-            # every session but the last is closed by construction: a
-            # later event already proved its gap
-            for s, e, n in sessions[:-1]:
-                closed.append((key[0], s, e, n))
-            if sessions:
-                s, e, n = sessions[-1]
-                timeout_ms = (e + gap_seconds) * 1000
-                if timeout_ms <= wm_ms:
-                    closed.append((key[0], s, e, n))
-                    if state.exists:
-                        state.remove()
-                else:
-                    state.update((s, e, n))
-                    state.setTimeoutTimestamp(timeout_ms)
-            elif state.exists:
-                state.remove()
-        for k, s, e, n in closed:
+                intervals.append([t, t, 1])
+        # merge: sort by start, gap-join adjacent intervals
+        intervals.sort(key=lambda iv: iv[0])
+        sessions: list[list[int]] = []
+        for iv in intervals:
+            if sessions and iv[0] - sessions[-1][1] <= gap_seconds:
+                sessions[-1][1] = max(sessions[-1][1], iv[1])
+                sessions[-1][2] += iv[2]
+            else:
+                sessions.append(iv)
+        # a session closes exactly when the watermark passes end+gap:
+        # any event that could still extend it would have ts <= end+gap
+        # <= watermark and be dropped as late — so this is the earliest
+        # SAFE close, and it reproduces batch semantics on non-late data
+        closed = [s for s in sessions if (s[1] + gap_seconds) * 1000 <= wm_ms]
+        open_ = [s for s in sessions if (s[1] + gap_seconds) * 1000 > wm_ms]
+        if open_:
+            state.update(
+                (
+                    [s[0] for s in open_],
+                    [s[1] for s in open_],
+                    [s[2] for s in open_],
+                )
+            )
+            # next wake-up: the earliest possible close among open
+            # sessions (> watermark by construction, so always valid)
+            state.setTimeoutTimestamp(
+                min((s[1] + gap_seconds) for s in open_) * 1000
+            )
+        elif state.exists:
+            state.remove()
+        for s, e, n in closed:
             yield _pd.DataFrame(
                 {
-                    key_col: [k],
+                    key_col: [key[0]],
                     "session_start": [_dt.datetime.utcfromtimestamp(s)],
                     "session_end": [_dt.datetime.utcfromtimestamp(e)],
                     "n_events": [n],

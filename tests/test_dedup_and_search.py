@@ -136,8 +136,11 @@ def test_simhash_pairs_blake2b_variant(docs):
 
 def test_lsh_hot_bucket_guards(spark):
     """Degenerate corpora (thousands of identical near-empty docs) must
-    not explode into O(n^2) pair generation: the hot-bucket guards drop
-    oversized buckets from the self-joins entirely."""
+    not explode into O(n^2) pair generation — but the biggest duplicate
+    clusters must NOT be lost either (identical docs share EVERY band,
+    so dropping their buckets would zero their recall).  Oversized
+    buckets are star-paired to a min-id representative: O(n) pairs,
+    connectivity preserved for transitive clustering."""
     from data_reconciliation_spark.config import BlockingConfig
 
     n = 5000
@@ -145,13 +148,18 @@ def test_lsh_hot_bucket_guards(spark):
         F.col("id").alias("doc_id"), F.lit("").alias("text")
     )
     # every doc hashes to the same bands / simhash 0 -> one n^2 bucket
-    # without the guard (25M pairs); with it, zero pairs and fast.
+    # (25M pairs) without the guard; with star-pairing, exactly n-1
+    # pairs all anchored at the min-id representative, and fast.
     mh = minhash_lsh_pairs(
         docs, cfg=BlockingConfig(shingle_size=1), verify_threshold=1.0
     )
-    assert mh.count() == 0
+    rows = mh.collect()
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 and r["jaccard"] == 1.0 for r in rows)
     sh = simhash_pairs(docs, max_hamming=6, n_chunks=8, max_bucket_size=1000)
-    assert sh.count() == 0
+    srows = sh.collect()
+    assert len(srows) == n - 1
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in srows)
 
 
 @pytest.fixture(scope="module")
@@ -297,6 +305,44 @@ def test_audit_store_dedup_gate(spark, tmp_path):
     assert len(hist) == 2
     assert hist[0]["date"] <= hist[1]["date"]
     assert store.read_exceptions(rid1).count() == 1
+
+
+def test_analysis_by_date(spark, tmp_path):
+    """Reference GET /analysis parity (app.py:228-299): system + pk +
+    calendar-date filter -> first run -> header + that run's exceptions;
+    404-analog None when nothing matches; 400-analog ValueError on a bad
+    date string."""
+    from datetime import datetime, timezone
+
+    store = AuditStore(spark, str(tmp_path / "audit_bydate"))
+    exc1 = spark.createDataFrame(
+        [(1, "f", "a", "b"), (2, "f", "c", "d")],
+        "id long, field string, old string, new string",
+    )
+    exc2 = spark.createDataFrame(
+        [(9, "g", "x", "y")], "id long, field string, old string, new string"
+    )
+    d1 = datetime(2024, 3, 1, 10, 0, tzinfo=timezone.utc)
+    d2 = datetime(2024, 3, 2, 11, 0, tzinfo=timezone.utc)
+    rid1 = store.save_run("sysD", 95.0, exc1, "id", now=d1)
+    rid2 = store.save_run("sysD", 90.0, exc2, "id", now=d2)
+    assert rid1 and rid2
+
+    got = store.analysis_by_date("sysD", "2024-03-01", pk="id")
+    assert got is not None
+    assert got["analysis_id"] == rid1
+    assert got["system_name"] == "sysD" and got["date"] == "2024-03-01"
+    assert got["match_rate"] == 95.0 and got["primary_key_used"] == "id"
+    assert got["exceptions"].count() == 2
+
+    # day 2 run resolves independently
+    assert store.analysis_by_date("sysD", "2024-03-02")["analysis_id"] == rid2
+    # no run that day / wrong system -> None (reference 404)
+    assert store.analysis_by_date("sysD", "2024-03-03") is None
+    assert store.analysis_by_date("nope", "2024-03-01") is None
+    # bad date -> ValueError (reference 400)
+    with pytest.raises(ValueError):
+        store.analysis_by_date("sysD", "03/01/2024")
 
 
 def test_rejection_loop(spark, tmp_path):

@@ -74,11 +74,13 @@ def test_pairwise_f1(spark, pages):
     prep = prepare_pages(pages)
     pa = prep.select(
         F.col("url").alias("url_a"), F.col("canon_url").alias("canon_url_a"),
-        F.col("norm_text").alias("norm_text_a"), F.col("simhash").alias("simhash_a"),
+        F.col("title").alias("title_a"), F.col("tok_hashes").alias("tok_hashes_a"),
+        F.col("simhash").alias("simhash_a"),
     )
     pb = prep.select(
         F.col("url").alias("url_b"), F.col("canon_url").alias("canon_url_b"),
-        F.col("norm_text").alias("norm_text_b"), F.col("simhash").alias("simhash_b"),
+        F.col("title").alias("title_b"), F.col("tok_hashes").alias("tok_hashes_b"),
+        F.col("simhash").alias("simhash_b"),
     )
     pairs = gold.join(pa, "url_a").join(pb, "url_b")
     # the gold label column and the scored verdict share the name

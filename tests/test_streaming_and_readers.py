@@ -97,6 +97,9 @@ def test_incremental_exception_stream(spark, tmp_path):
 
 def test_readers_and_validators(spark, tmp_path):
     assert file_type_allowed("data.csv") and not file_type_allowed("evil.exe")
+    # legacy BIFF .xls is honestly rejected (no xlrd in env; only
+    # zip-based .xlsx is parseable) — see readers.ALLOWED_EXTENSIONS
+    assert file_type_allowed("book.xlsx") and not file_type_allowed("book.xls")
     assert same_system_gate("sales_2024.csv", "sales-old.xlsx")
     assert not same_system_gate("sales_2024.csv", "inventory_2024.csv")
 
@@ -388,3 +391,72 @@ def test_compact_table(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 10_000
     assert back.agg(F.sum("id")).first()[0] == 10_000 * 9_999 // 2
+
+
+def test_sessionize_stream_random_batch_splits_match_batch(spark, tmp_path):
+    """Differential fuzz (round-2 verdict #10): random event sets,
+    randomly permuted and split across micro-batches, must close exactly
+    the sessions ``sessionize_batch`` computes — the stateful operator's
+    out-of-order interval merge cannot depend on arrival order.
+
+    The watermark delay is larger than the whole event horizon so no
+    permutation makes an event "late"; a far-future flush event then
+    advances the watermark past every session's timeout."""
+    import random
+
+    from data_reconciliation_spark.operators.temporal import sessionize_batch
+    from data_reconciliation_spark.streaming.incremental import sessionize_events
+
+    rng = random.Random(1234)
+    base = dt.datetime(2024, 1, 1)
+    for trial in range(4):
+        n_users = rng.randint(1, 3)
+        rows = []
+        eid = 0
+        for uid in range(1, n_users + 1):
+            t = 0
+            for _ in range(rng.randint(1, 10)):
+                t += rng.choice([60, 600, 1700, 1900, 4000, 7200])
+                eid += 1
+                rows.append(
+                    (eid, base + dt.timedelta(seconds=t), uid, "click", 1.0)
+                )
+        flush_uid = 99
+        flush = (10_000, base + dt.timedelta(days=30), flush_uid, "flush", 0.0)
+
+        events = spark.createDataFrame(rows, EVENT_SCHEMA)
+        want = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in sessionize_batch(events, gap_seconds=1800).collect()
+        }
+
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        n_batches = rng.randint(1, 4)
+        batches = [shuffled[i::n_batches] for i in range(n_batches)]
+        batches = [b for b in batches if b] + [[flush]]
+
+        src = str(tmp_path / f"fuzz_{trial}")
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b, EVENT_SCHEMA).coalesce(1).write.parquet(
+                f"{src}/d{i:02d}"
+            )
+        stream = spark.readStream.schema(EVENT_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src + "/*")
+        qname = f"sess_fuzz_{trial}"
+        q = (
+            sessionize_events(stream, gap_seconds=1800, watermark="10 days")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql(f"select * from {qname}").collect()
+            if r["user_id"] != flush_uid
+        }
+        assert got == want, f"trial {trial}: {got ^ want}"
