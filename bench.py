@@ -34,6 +34,11 @@ def main() -> None:
         app_name="recon-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 16),
+        # the ER scoring UDF ships only short urls/titles: large Arrow
+        # batches amortize the numpy-vectorized kernels (measured 2x,
+        # tools/profile_udf_decay.py).  None of the benched queries
+        # carry fat binary rows, so the 50k batch cap is safe here.
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "50000"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
