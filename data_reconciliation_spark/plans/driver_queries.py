@@ -892,12 +892,17 @@ bits AS (
   FROM toks, range(64) j(j)
   GROUP BY doc_id, j.j
 ),
+ntok AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
 sig AS (
-  SELECT doc_id,
-         SUM(CASE WHEN j > 0 AND s > 0 THEN (1::BIGINT << (63 - j))
-                  WHEN j = 0 AND s > 0 THEN -9223372036854775808
-                  ELSE 0 END)::BIGINT AS simhash
-  FROM bits GROUP BY doc_id
+  -- NULL beyond 16383 tokens: mirrors simhash64_native's 15-bit-lane
+  -- exact-range guard (null signatures drop out of the pair join)
+  SELECT b.doc_id,
+         CASE WHEN nt.n <= 16383 THEN
+           SUM(CASE WHEN j > 0 AND s > 0 THEN (1::BIGINT << (63 - j))
+                    WHEN j = 0 AND s > 0 THEN -9223372036854775808
+                    ELSE 0 END)::BIGINT
+         END AS simhash
+  FROM bits b JOIN ntok nt USING (doc_id) GROUP BY b.doc_id, nt.n
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
