@@ -92,22 +92,30 @@ def main() -> None:
     # sf0.1 the caps-off variant pays an unguarded quadratic band bucket
     # (1090-doc bucket -> ~600k pairs) that no production deployment
     # would run.
+    from data_reconciliation_spark.lifecycle import release_cached
+
     def bench_minhash():
         from data_reconciliation_spark.config import BlockingConfig
         from data_reconciliation_spark.operators.dedup import minhash_lsh_pairs
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return minhash_lsh_pairs(
+        pairs = minhash_lsh_pairs(
             docs,
             cfg=BlockingConfig(shingle_size=1, num_hashes=32, bands=2),
             verify_threshold=1.0,
-        ).count()
+        )
+        n = pairs.count()
+        release_cached(pairs)
+        return n
 
     def bench_simhash():
         from data_reconciliation_spark.operators.dedup import simhash_pairs
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return simhash_pairs(docs, max_hamming=6, n_chunks=8).count()
+        pairs = simhash_pairs(docs, max_hamming=6, n_chunks=8)
+        n = pairs.count()
+        release_cached(pairs)
+        return n
 
     run("minhash_lsh_pairs", bench_minhash)
     run("simhash_pairs", bench_simhash)
@@ -142,7 +150,7 @@ def main() -> None:
         t0 = time.time()
         res.clusters.count()
         cluster_sec = time.time() - t0
-        res.scored_pairs.unpersist()
+        res.release()
     # er_pipeline = blocking + cascade scoring + transitive closure
     # (link() runs the closure eagerly); er_labels_join = the final
     # cluster-label materialization.

@@ -45,6 +45,7 @@ def _cmd_link(args: argparse.Namespace) -> int:
         result.scored_pairs.write.mode("overwrite").parquet(f"{args.output}/scored_pairs")
     n_clusters = result.clusters.select("entity").distinct().count()
     n_pages = result.clusters.count()
+    result.release()
     print(json.dumps({"pages": n_pages, "entities": n_clusters}))
     spark.stop()
     return 0
@@ -56,15 +57,20 @@ def _cmd_reconcile(args: argparse.Namespace) -> int:
     df_new = spark.read.parquet(args.new)
     cfg = json.loads(args.config) if args.config else {}
     res = reconcile(df_old, df_new, args.pk.split(","), cfg)
-    res.exceptions.write.mode("overwrite").parquet(f"{args.output}/exceptions")
-    if args.audit:
-        store = AuditStore(spark, args.audit)
-        store.save_run(
-            system_name=args.system or "default",
-            match_rate=res.match_pct,
-            exceptions=res.exceptions,
-            primary_key_used=args.pk,
-        )
+    try:
+        res.exceptions.write.mode("overwrite").parquet(f"{args.output}/exceptions")
+        if args.audit:
+            store = AuditStore(spark, args.audit)
+            store.save_run(
+                system_name=args.system or "default",
+                match_rate=res.match_pct,
+                exceptions=res.exceptions,
+                primary_key_used=args.pk,
+            )
+    finally:
+        # the flagged-join cache served both consumers; free it before
+        # the (potentially long-lived) session moves on
+        res.release()
     print(
         json.dumps(
             {

@@ -216,7 +216,10 @@ def candidate_pairs(
         # split skewed SMJ partitions later, but balanced storage +
         # balanced map tasks need the salt at write time).
         blocks = salted_repartition(blocks, "block_key", salt_buckets=16, id_col=id_col)
-    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+    # registered on the returned pairs — caller (or the composing
+    # operator, see scoring.block_score_pipeline) releases via
+    # lifecycle.release_cached after materializing
+    blocks_cache = blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Skew guard: per-key counts; oversized blocks are excluded from the
     # quadratic self-join (broadcast the small hot-key list back) but
@@ -279,4 +282,6 @@ def candidate_pairs(
             *[F.col(c).alias(f"{c}_b") for c in payload_cols],
         )
         pairs = pairs.join(pa, "id_a").join(pb, "id_b")
-    return pairs
+    from data_reconciliation_spark.lifecycle import register_cached
+
+    return register_cached(pairs, blocks_cache)

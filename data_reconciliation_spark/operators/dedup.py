@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from data_reconciliation_spark.config import BlockingConfig
 from data_reconciliation_spark.functions.normalize import normalized_text
+from data_reconciliation_spark.lifecycle import register_cached
 from data_reconciliation_spark.functions.similarity import simhash64_udf
 from data_reconciliation_spark.operators.blocking import (
     band_keys,
@@ -81,9 +82,28 @@ def ngram_jaccard_pairs(
     unrelated same-bucket members fail the threshold on the star pair
     exactly as they would pairwise.  Pass ``max_block_size=None`` for
     exact all-pairs semantics (e.g. oracle checks).
+
+    The caller releases the internal block cache with
+    ``lifecycle.release_cached(result)`` after materializing.
     """
     toks = F.split(normalized_text(F.col(text_col)), " ")
     if block_col is None:
+        # The implicit length bucket is DEPRECATED: it degenerates to
+        # near-global blocks on homogeneous corpora (uniform-length web
+        # text all lands in 2-3 buckets), leaving recall to the capped
+        # star-pairing guard.  Callers should pass an explicit
+        # ``block_col`` (host, shingle key, ...) or use
+        # ``minhash_lsh_pairs`` — the scale path — for corpus-level
+        # near-dup detection.
+        import warnings
+
+        warnings.warn(
+            "ngram_jaccard_pairs: implicit length-bucket blocking is "
+            "deprecated — pass block_col explicitly, or use "
+            "minhash_lsh_pairs for corpus-scale near-dup detection",
+            DeprecationWarning,
+            stacklevel=2,
+        )
         block_col = F.floor(F.log2(F.size(toks) + 1))  # length bucket
     # delegate to token_shingles: it binds the token array as a lambda
     # variable so the split/regex is not re-evaluated per gram
@@ -94,8 +114,11 @@ def ngram_jaccard_pairs(
         F.array_distinct(grams).alias("grams"),
     )
     star = None
+    base_cache = None
     if max_block_size is not None:
-        base = base.persist()
+        # consumed by the size histogram, the star branch and both
+        # self-join sides; registered on the result for caller release
+        base_cache = base = base.persist()
         sizes = base.groupBy("block").count()
         hot = sizes.where(F.col("count") > max_block_size).select("block")
         hot_members = base.join(F.broadcast(hot), "block", "semi")
@@ -133,11 +156,12 @@ def ngram_jaccard_pairs(
         # key, and hot blocks are excluded from the pairwise join — no
         # dedup shuffle needed
         cand = cand.unionByName(star)
-    return (
+    out = (
         cand.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return register_cached(out, base_cache)
 
 
 def minhash_lsh_pairs(
@@ -152,6 +176,9 @@ def minhash_lsh_pairs(
     Candidate pairs collide on >=1 LSH band; the optional verify step
     filters by true token-set Jaccard (native array expressions).  The
     only shuffles are the band-key self-join and the pair dedup groupBy.
+
+    The caller releases the internal band-key cache with
+    ``lifecycle.release_cached(result)`` after materializing.
     """
     cfg = cfg or BlockingConfig()
     # signature materialized as its own projection so band_keys slices a
@@ -178,21 +205,28 @@ def minhash_lsh_pairs(
         )
         .select(F.col(id_col), F.xxhash64("__bk").alias("band_key"))
         # materialized once: both self-join sides consume it, and the
-        # signature fold must not run twice per document
+        # signature fold must not run twice per document; registered on
+        # the result — caller releases via lifecycle.release_cached
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    keyed_cache = keyed
     # Hot-bucket guard (same pattern as blocking.candidate_pairs): a
     # degenerate band key (e.g. every near-empty doc sharing one band)
     # would be an unguarded O(n^2) self-join partition.  Oversized
     # buckets are STAR-PAIRED instead of dropped: every member pairs
-    # with the bucket's min-id representative — O(n) pairs per bucket,
-    # and connectivity (hence cluster-level recall under transitive
-    # closure) is preserved.  Dropping was wrong for giant *duplicate*
-    # clusters: identical docs share EVERY band, so no other band could
-    # retain recall and the biggest duplicate groups were missed
-    # entirely.  NOTE pair-level output for over-cap buckets is the
-    # star subset, not all O(n^2) pairs — oracle-exact configurations
-    # must pass ``max_block_size=None``.
+    # with the bucket's min-id representative — O(n) pairs per bucket.
+    # Dropping was wrong for giant *duplicate* clusters: identical docs
+    # share EVERY band, so no other band could retain recall and the
+    # biggest duplicate groups were missed entirely.  Recall under the
+    # cap: EXACT for identical-doc hot buckets (every star pair passes
+    # verify at jaccard 1.0, connectivity preserved); BEST-EFFORT for
+    # mixed hot buckets — two members of a non-representative cluster
+    # are linked only through their star pairs to the bucket minimum,
+    # which can fail the verify threshold (measured bound:
+    # tests/test_dedup_and_search.py::test_mixed_hot_bucket_star_recall).
+    # NOTE pair-level output for over-cap buckets is the star subset,
+    # not all O(n^2) pairs — oracle-exact configurations must pass
+    # ``max_block_size=None``.
     star_pairs = None
     if cfg.max_block_size is not None:
         hot = (
@@ -253,7 +287,7 @@ def minhash_lsh_pairs(
             .where(F.col("jaccard") >= verify_threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    return pairs
+    return register_cached(pairs, keyed_cache)
 
 
 def simhash_pairs(
@@ -287,6 +321,9 @@ def simhash_pairs(
     (chunk_idx, chunk) buckets are excluded from the pairwise self-join —
     the O(n²) guard; a pair inside a dropped bucket is still found via
     any other chunk the two signatures agree on.
+
+    The caller releases the internal signature cache with
+    ``lifecycle.release_cached(result)`` after materializing.
     """
     if 64 % n_chunks:
         raise ValueError("n_chunks must divide 64")
@@ -376,7 +413,8 @@ def simhash_pairs(
     )
     if star is not None:
         cand = cand.unionByName(star.where(F.col("__h") <= max_hamming))
-    return cand.groupBy("id_a", "id_b").agg(F.first("__h").alias("hamming"))
+    out = cand.groupBy("id_a", "id_b").agg(F.first("__h").alias("hamming"))
+    return register_cached(out, sig)
 
 
 def dedup_rank(

@@ -170,12 +170,21 @@ def reconcile(
     df_new: DataFrame,
     pk_cols: list[str],
     cfg: ReconConfig | dict | None = None,
+    eager_metrics: bool = True,
 ) -> ReconcileResult:
     """Compare two snapshots on ``pk_cols`` under ``cfg`` rules.
 
     Pure DataFrame -> DataFrame; mirrors the library contract of the
     reference ``run_compare(df_old, df_new, pk_cols, cfg)``
     (``test_comparison_logic.py:13``).
+
+    ``eager_metrics=False`` skips the metrics aggregation AND the
+    flagged-join persist: the result carries only the lazy
+    ``exceptions`` DataFrame (metrics fields are NaN/0), which executes
+    the snapshot join exactly once when consumed, and there is no cache
+    to release.  Use it when only the exception stream is needed (e.g.
+    a long-running driver emitting exceptions per run — the eager
+    path's cache would otherwise leak until ``release()``).
     """
     cfg = cfg if isinstance(cfg, ReconConfig) else ReconConfig.from_dict(cfg)
     compare_cols = [c for c in df_old.columns if c not in pk_cols]
@@ -231,32 +240,41 @@ def reconcile(
     flag_names = {c: f"__mm_{i}" for i, c in enumerate(active_cols)}
     flagged = merged.select(
         "*", *[mismatch_cols[c].alias(flag_names[c]) for c in active_cols]
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    # Single aggregation pass computes every count the match formula needs
-    # (A1/A2) — one job, map-side partial aggregation, no collect loops.
-    agg_row = flagged.agg(
-        F.sum(in_both.cast("long")).alias("n_both"),
-        F.sum(old_only.cast("long")).alias("n_old_only"),
-        F.sum(new_only.cast("long")).alias("n_new_only"),
-        *[
-            F.sum((in_both & F.col(flag_names[c])).cast("long")).alias(f"exc_{i}")
-            for i, c in enumerate(active_cols)
-        ],
-    ).collect()[0]
-    n_both = agg_row["n_both"] or 0
-    n_old_only = agg_row["n_old_only"] or 0
-    n_new_only = agg_row["n_new_only"] or 0
-    per_field = {
-        c: (agg_row[f"exc_{i}"] or 0) for i, c in enumerate(active_cols)
-    }
-    field_exceptions = sum(per_field.values())
-
-    # A1 — exact reference formula (compare.py:298-308).
-    denom = n_both * len(active_cols)
-    match_pct = (
-        round(100.0 * (denom - field_exceptions) / denom, 2) if denom > 0 else 100.0
     )
+    if eager_metrics:
+        flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # Single aggregation pass computes every count the match formula
+        # needs (A1/A2) — one job, map-side partial agg, no collect loops.
+        agg_row = flagged.agg(
+            F.sum(in_both.cast("long")).alias("n_both"),
+            F.sum(old_only.cast("long")).alias("n_old_only"),
+            F.sum(new_only.cast("long")).alias("n_new_only"),
+            *[
+                F.sum((in_both & F.col(flag_names[c])).cast("long")).alias(f"exc_{i}")
+                for i, c in enumerate(active_cols)
+            ],
+        ).collect()[0]
+        n_both = agg_row["n_both"] or 0
+        n_old_only = agg_row["n_old_only"] or 0
+        n_new_only = agg_row["n_new_only"] or 0
+        per_field = {
+            c: (agg_row[f"exc_{i}"] or 0) for i, c in enumerate(active_cols)
+        }
+        field_exceptions = sum(per_field.values())
+
+        # A1 — exact reference formula (compare.py:298-308).
+        denom = n_both * len(active_cols)
+        match_pct = (
+            round(100.0 * (denom - field_exceptions) / denom, 2)
+            if denom > 0
+            else 100.0
+        )
+    else:
+        n_both = n_old_only = n_new_only = 0
+        per_field = {}
+        field_exceptions = 0
+        match_pct = float("nan")
 
     # R1: wide -> long exception melt via array+filter+explode (one pass,
     # no per-field jobs).
@@ -314,5 +332,5 @@ def reconcile(
         n_new_only=n_new_only,
         field_exception_count=field_exceptions,
         per_field_exceptions=per_field,
-        _persisted=flagged,
+        _persisted=flagged if eager_metrics else None,
     )

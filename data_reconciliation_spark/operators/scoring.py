@@ -267,12 +267,13 @@ def block_score_pipeline(
     from pyspark.storagelevel import StorageLevel
 
     prep = prepare_pages(pages).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = candidate_pairs(
+    cand = candidate_pairs(
         prep.select("url", F.col("norm_text").alias("text")),
         blocking_cfg,
         id_col="url",
         payload_cols=(),
-    ).withColumnsRenamed({"id_a": "url_a", "id_b": "url_b"})
+    )
+    pairs = cand.withColumnsRenamed({"id_a": "url_a", "id_b": "url_b"})
     pa = prep.select(
         F.col("url").alias("url_a"),
         F.col("canon_url").alias("canon_url_a"),
@@ -288,4 +289,9 @@ def block_score_pipeline(
         F.col("simhash").alias("simhash_b"),
     )
     pairs = pairs.join(pa, "url_a").join(pb, "url_b")
-    return score_pairs(pairs, scoring_cfg)
+    # the prep cache plus the block-table cache candidate_pairs
+    # registered are handed to the caller for release (lifecycle
+    # contract); link() folds them into LinkResult.release()
+    from data_reconciliation_spark.lifecycle import cached_deps, register_cached
+
+    return register_cached(score_pairs(pairs, scoring_cfg), prep, *cached_deps(cand))

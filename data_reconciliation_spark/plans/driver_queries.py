@@ -126,7 +126,11 @@ WHERE o.o_orderkey IS NULL
 
 def q_reconcile_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _snapshots(spark, sf_dir)
-    res = reconcile(old, new, ["o_orderkey"], RECON_CFG)
+    # eager_metrics=False: only the exception stream is consumed, so the
+    # metrics agg (and its session-lifetime flagged-join cache — the
+    # round-3 leak) is skipped; the join runs ONCE, when the driver
+    # materializes the returned DataFrame.
+    res = reconcile(old, new, ["o_orderkey"], RECON_CFG, eager_metrics=False)
     return res.exceptions.select("o_orderkey", "field", "old", "new")
 
 
@@ -173,6 +177,9 @@ FROM both_rows WHERE o_orderpriority IS DISTINCT FROM n_orderpriority
 def q_a1_match_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _snapshots(spark, sf_dir)
     res = reconcile(old, new, ["o_orderkey"], RECON_CFG)
+    # every metric is already a collected scalar — release the flagged-
+    # join cache immediately (the returned DF is a literal row)
+    res.release()
     return spark.createDataFrame(
         [
             (
@@ -954,7 +961,8 @@ def q_er_link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_reconciliation_spark.testgen import generate_pages
 
     pages = generate_pages(spark, n_rows=400, n_entities=100, seed=42)
-    clusters = link(pages).clusters
+    res = link(pages)
+    clusters = res.clusters
 
     joined = clusters.join(pages.select("url", "entity_id"), "url")
     row = joined.agg(
@@ -982,6 +990,10 @@ def q_er_link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"er_link_clusters: cluster count {row['n_clusters']} vs "
             f"{row['n_true']} true entities exceeds 10% split tolerance"
         )
+    # the invariant checks above consumed scored_pairs via the closure;
+    # clusters reads only the localCheckpoint-ed label table, so the
+    # scoring caches can be freed before handing the DF to the driver
+    res.release()
     return clusters
 
 # ---------------------------------------------------------------------------

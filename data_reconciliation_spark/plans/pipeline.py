@@ -24,6 +24,19 @@ class LinkResult:
     matches: DataFrame        # verdict-positive pairs (url_a, url_b, score)
     clusters: DataFrame       # (url, entity) — every input url labeled
 
+    def release(self) -> None:
+        """Unpersist the scored-pair cache and every intermediate the
+        blocking/scoring stages registered (lifecycle contract; see
+        ``data_reconciliation_spark.lifecycle``).  Call after the result
+        DataFrames have been written/consumed.  ``clusters`` stays
+        valid afterwards — the closure rounds are localCheckpoint-ed,
+        so it does not recompute the scoring stage;
+        ``scored_pairs``/``matches`` recompute if re-consumed."""
+        from data_reconciliation_spark.lifecycle import release_cached
+
+        release_cached(self.scored_pairs)
+        self.scored_pairs.unpersist()
+
 
 def link(
     pages: DataFrame,
