@@ -125,6 +125,10 @@ n_pairs = pairs.count()
 # Every pass — kept or rejected — is recorded with its steal fraction
 # so the exclusion is auditable.
 CLK = os.sysconf("SC_CLK_TCK")
+# machine-wide core count for the steal denominator (steal is measured
+# from the whole-machine /proc/stat line; os.cpu_count() ignores the
+# taskset affinity mask, which is what we want here)
+MACHINE_CORES = os.cpu_count() or 32
 def _steal_sec():
     with open("/proc/stat") as f:
         return int(f.readline().split()[8]) / CLK
@@ -144,7 +148,7 @@ while len(samples) < 3 and attempt < 12:
     st0 = _steal_sec(); dr0 = _disk_read_mb(); t0 = time.time()
     n_matches = score_pairs(pairs).where("is_match").count()
     elapsed = time.time() - t0
-    steal_frac = (_steal_sec() - st0) / (elapsed * 32)  # machine-wide
+    steal_frac = (_steal_sec() - st0) / (elapsed * MACHINE_CORES)  # machine-wide
     disk_mb = round(_disk_read_mb() - dr0, 1)
     warm = attempt < 2
     clean = (not warm) and steal_frac < 0.02
@@ -156,13 +160,20 @@ while len(samples) < 3 and attempt < 12:
     if clean:
         samples.append(elapsed)
     attempt += 1
-if not samples:  # steal never let up: fall back to best post-warmup pass
-    samples = [min(p["sec"] for p in all_passes if not p["warmup"])]
+steal_polluted = False
+if not samples:
+    # steal never let up in 12 attempts: report the MEDIAN of all
+    # post-warmup passes and FLAG the payload (the previous fallback
+    # reported the minimum — an optimistic bias in a headline number)
+    post = sorted(p["sec"] for p in all_passes if not p["warmup"])
+    samples = [post[len(post) // 2]]
+    steal_polluted = True
 med = sorted(samples)[len(samples) // 2]
 result = {"cores": cores, "pages": n_pages, "pairs": n_pairs,
           "matches": n_matches, "seconds": round(med, 2),
           "pairs_per_sec": round(n_pairs / med, 1),
-          "clean_samples": len(samples),
+          "clean_samples": 0 if steal_polluted else len(samples),
+          "steal_polluted": steal_polluted,
           "passes": all_passes}
 print("RESULT " + json.dumps(result))
 shutil.rmtree(os.path.dirname(pairs_path), ignore_errors=True)
@@ -170,7 +181,77 @@ spark.stop()
 """
 
 
-def run_config(cores: int, pages: int, mem: str) -> dict:
+_E2E_CHILD_CODE = r"""
+import json, os, sys, time
+cores = int(sys.argv[1]); n_pages = int(sys.argv[2])
+from data_reconciliation_spark.session import build_session
+from data_reconciliation_spark.testgen import generate_pages
+from data_reconciliation_spark.plans.pipeline import link
+
+# same config discipline as the scoring-stage child: constant shuffle
+# partitioning, G1, large Arrow batches; the only variable is cores.
+spark = build_session(app_name=f"recon-scaling-e2e-{cores}",
+                      master=f"local[{cores}]",
+                      shuffle_partitions=128,
+                      extra_conf={
+                          "spark.driver.extraJavaOptions": "-XX:+UseG1GC",
+                          "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
+                      })
+spark.sparkContext.setLogLevel("ERROR")
+
+# identical deterministic input at both parallelism levels (generator is
+# hash-derived from row ids); input materialization is untimed.
+pages = generate_pages(spark, n_rows=n_pages, n_entities=n_pages // 16,
+                       n_hosts=max(50, n_pages // 32), partitions=128).persist()
+pages.count()
+
+# Timed job: the WHOLE pipeline per pass — blocking (shingle/band
+# shuffle) + cascade scoring + transitive closure + final label join —
+# rebuilt from scratch each pass (caches released between passes via
+# the lifecycle contract).  Steal gating identical to the scoring child.
+CLK = os.sysconf("SC_CLK_TCK")
+MACHINE_CORES = os.cpu_count() or 32
+def _steal_sec():
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8]) / CLK
+samples = []; all_passes = []
+n_pairs = 0; n_matches = 0; n_clusters = 0
+attempt = 0
+while len(samples) < 2 and attempt < 8:
+    st0 = _steal_sec(); t0 = time.time()
+    res = link(pages)
+    n_pairs = res.scored_pairs.count()
+    n_clusters = res.clusters.count()
+    elapsed = time.time() - t0
+    res.release()
+    steal_frac = (_steal_sec() - st0) / (elapsed * MACHINE_CORES)
+    warm = attempt < 2   # C2/codegen needs two warmup passes at local[32]
+    clean = (not warm) and steal_frac < 0.02
+    all_passes.append({"sec": round(elapsed, 2),
+                       "pairs_per_sec": round(n_pairs / elapsed, 1),
+                       "steal_frac": round(steal_frac, 4),
+                       "warmup": warm, "kept": clean})
+    if clean:
+        samples.append(elapsed)
+    attempt += 1
+steal_polluted = False
+if not samples:
+    post = sorted(p["sec"] for p in all_passes if not p["warmup"])
+    samples = [post[len(post) // 2]]
+    steal_polluted = True
+med = sorted(samples)[len(samples) // 2]
+result = {"cores": cores, "pages": n_pages, "pairs": n_pairs,
+          "labeled_pages": n_clusters, "seconds": round(med, 2),
+          "pairs_per_sec": round(n_pairs / med, 1),
+          "clean_samples": 0 if steal_polluted else len(samples),
+          "steal_polluted": steal_polluted,
+          "passes": all_passes}
+print("RESULT " + json.dumps(result))
+spark.stop()
+"""
+
+
+def run_config(cores: int, pages: int, mem: str, code: str = _CHILD_CODE) -> dict:
     env = dict(os.environ)
     # the benchmark JVM must not be memory-starved: with the default 8g
     # the persisted pair table spills to disk and the timed stage
@@ -185,7 +266,7 @@ def run_config(cores: int, pages: int, mem: str) -> dict:
     # leg and underestimating scaling efficiency.
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}",
-         sys.executable, "-c", _CHILD_CODE, str(cores), str(pages)],
+         sys.executable, "-c", code, str(cores), str(pages)],
         capture_output=True,
         text=True,
         env=env,
@@ -209,6 +290,10 @@ def sync_headline_claims(payload: dict) -> None:
     lo, hi = payload["low"], payload["high"]
     n = payload["samples_per_config"]
     status = "PASS" if eff >= 0.8 else "FAIL"
+    if lo.get("steal_polluted") or hi.get("steal_polluted"):
+        # no steal-clean pass was obtained on >=1 leg: the number is a
+        # median of polluted passes — never let it read as a clean PASS
+        status += " (STEAL-POLLUTED RUN — rerun when the VM quiets)"
     here = os.path.dirname(os.path.abspath(__file__))
 
     row = (
@@ -244,15 +329,36 @@ def sync_headline_claims(payload: dict) -> None:
     )
     if k != 1:
         raise RuntimeError(f"docs/SCALE.md SCALING marker not found (matched {k})")
+    if "e2e" in payload:
+        e = payload["e2e"]
+        el, eh = e["low"], e["high"]
+        eblock = (
+            f"{el['pairs_per_sec']:.0f} -> {eh['pairs_per_sec']:.0f} pairs/s "
+            f"end-to-end at {el['pages']} pages (local[{el['cores']}] -> "
+            f"local[{eh['cores']}]), efficiency {e['scaling_efficiency']} — "
+            "lower than the scoring stage because the closure loop is "
+            "latency-bound (fixed round count, cost independent of cores)"
+        )
+        s2, k = re.subn(
+            r"<!--SCALING-E2E-->.*?<!--/SCALING-E2E-->",
+            f"<!--SCALING-E2E-->{eblock}<!--/SCALING-E2E-->",
+            s2,
+            flags=re.S,
+        )
+        if k != 1:
+            raise RuntimeError(f"docs/SCALE.md SCALING-E2E marker not found (matched {k})")
     open(p, "w").write(s2)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=150_000)
+    ap.add_argument("--e2e-pages", type=int, default=50_000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--mem", default="48g")
+    ap.add_argument("--skip-e2e", action="store_true",
+                    help="measure only the scoring stage (the gated metric)")
     args = ap.parse_args()
 
     lo = run_config(args.low, args.pages, args.mem)
@@ -265,6 +371,19 @@ def main() -> None:
                "scaling_efficiency": eff,
                "samples_per_config": 3,
                "steal_gate": 0.02}
+
+    if not args.skip_e2e:
+        # Full-pipeline scaling (round-3 verdict #4): blocking + scoring
+        # + closure + label join end-to-end.  NOT the gated metric —
+        # BASELINE.json defines the target over the scoring stage — but
+        # evidence of how the latency-bound closure dilutes scaling.
+        lo_e = run_config(args.low, args.e2e_pages, args.mem, code=_E2E_CHILD_CODE)
+        hi_e = run_config(args.high, args.e2e_pages, args.mem, code=_E2E_CHILD_CODE)
+        eff_e = round(hi_e["pairs_per_sec"] / (ratio * lo_e["pairs_per_sec"]), 3)
+        payload["e2e"] = {"low": lo_e, "high": hi_e,
+                          "scaling_efficiency": eff_e,
+                          "timed_job": "link(): blocking + cascade scoring "
+                                       "+ transitive closure + label join"}
     with open("BENCH/scaling.json", "w") as f:
         json.dump(payload, f, indent=2)
 
@@ -313,6 +432,27 @@ Reference baseline: the reference publishes no throughput numbers
 (single-threaded per-row pandas loops, see BASELINE.md); its core is
 O(rows x fields) interpreted Python on one core, so any distributed
 steady-state number above dominates it architecturally.
+"""
+    if "e2e" in payload:
+        e = payload["e2e"]
+        el, eh = e["low"], e["high"]
+        md += f"""
+## Full-pipeline scaling (informational — the gated metric above is the scoring stage per BASELINE.json)
+
+Timed job: `link()` end-to-end per pass — blocking (shingle/band
+shuffle) + cascade scoring + transitive closure + final label join —
+rebuilt from scratch each pass, caches released between passes.  Same
+steal-gated, CPU-pinned harness; {el['pages']} pages.
+
+| config | pages | pairs scored | labeled pages | seconds | pairs/sec (e2e) |
+|---|---|---|---|---|---|
+| local[{el['cores']}]  (N)  | {el['pages']} | {el['pairs']} | {el['labeled_pages']} | {el['seconds']} | {el['pairs_per_sec']} |
+| local[{eh['cores']}] (4N) | {eh['pages']} | {eh['pairs']} | {eh['labeled_pages']} | {eh['seconds']} | {eh['pairs_per_sec']} |
+
+End-to-end scaling efficiency = **{e['scaling_efficiency']}** — diluted
+vs the scoring stage by the latency-bound closure loop (fixed round
+count; per-round driver/job latency does not shrink with cores).
+Per-pass evidence: N = {el['passes']}, 4N = {eh['passes']}.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)

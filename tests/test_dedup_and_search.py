@@ -162,6 +162,104 @@ def test_lsh_hot_bucket_guards(spark):
     assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in srows)
 
 
+def test_mixed_hot_bucket_star_recall(spark):
+    """Quantified recall bound for MIXED (non-identical-member) over-cap
+    buckets under the star-pairing guard (round-3 verdict #3).
+
+    Realistic case — the ER pipeline's hot HOST block: ~20% of entities
+    interleave on one host whose block exceeds ``max_block_size``, so
+    its pairwise join is replaced by O(n) star pairs.  True pairs lost
+    there must be recovered by the content bands (same-entity pages
+    collide on non-hot MinHash band buckets).  Measured against the
+    caps-off ground truth: BOTH pair-level recall of match verdicts and
+    cluster-level recall (a ground-truth cluster counts as recalled only
+    if the capped run keeps it in one piece post-closure).
+    """
+    from data_reconciliation_spark.config import BlockingConfig
+    from data_reconciliation_spark.plans.pipeline import link
+    from data_reconciliation_spark.testgen import HOT_HOST, generate_pages
+
+    pages = generate_pages(spark, n_rows=1600, n_entities=100, seed=11).persist()
+    hot_rows = pages.where(F.col("host") == HOT_HOST).count()
+    capped_cfg = BlockingConfig(max_block_size=64)
+    assert hot_rows > capped_cfg.max_block_size, "fixture must exceed the cap"
+    # the hot block is mixed: many distinct entities interleave on it
+    hot_entities = (
+        pages.where(F.col("host") == HOT_HOST).select("entity_id").distinct().count()
+    )
+    assert hot_entities >= 10
+
+    truth = link(pages, BlockingConfig(max_block_size=None))
+    truth_matches = {
+        (r["url_a"], r["url_b"])
+        for r in truth.matches.select("url_a", "url_b").collect()
+    }
+    truth_clusters = {}
+    for r in truth.clusters.collect():
+        truth_clusters.setdefault(r["entity"], set()).add(r["url"])
+    truth.release()
+
+    capped = link(pages, capped_cfg)
+    capped_matches = {
+        (r["url_a"], r["url_b"])
+        for r in capped.matches.select("url_a", "url_b").collect()
+    }
+    capped_label = {r["url"]: r["entity"] for r in capped.clusters.collect()}
+    capped.release()
+    pages.unpersist()
+
+    pair_recall = len(capped_matches & truth_matches) / len(truth_matches)
+    intact = sum(
+        1
+        for members in truth_clusters.values()
+        if len({capped_label[u] for u in members}) == 1
+    )
+    cluster_recall = intact / len(truth_clusters)
+    # Documented bounds (docs/SCALE.md §4b): band buckets recover the
+    # pairs the capped host block no longer enumerates.
+    assert pair_recall >= 0.98, (pair_recall, len(truth_matches))
+    assert cluster_recall >= 0.95, (cluster_recall, len(truth_clusters))
+
+
+def test_single_block_mixed_hot_bucket_floor(spark):
+    """WORST-CASE floor, documented: when the over-cap mixed bucket is
+    the ONLY bucket containing a pair (single explicit block, no band
+    recovery), star-pairing keeps exactly the representative's own
+    cluster and loses every other cluster — cluster recall = 1/k.  This
+    is why ``ngram_jaccard_pairs``' implicit single-corpus-wide blocking
+    is deprecated and corpus-scale dedup routes to ``minhash_lsh_pairs``
+    (multi-bucket recovery, previous test)."""
+    k, m = 8, 30
+    rows = []
+    for c in range(k):
+        base = [f"c{c}tok{j}" for j in range(20)]
+        for i in range(m):
+            # near-dup within cluster: one doc-specific token appended
+            rows.append((c * 100 + i, " ".join(base + [f"u{c}_{i}"])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = ngram_jaccard_pairs(
+        docs, threshold=0.5, n=3, block_col=F.lit(1), max_block_size=None
+    )
+    n_truth = truth.count()
+    assert n_truth == k * m * (m - 1) // 2  # all within-cluster pairs
+
+    capped = ngram_jaccard_pairs(
+        docs, threshold=0.5, n=3, block_col=F.lit(1), max_block_size=100
+    )
+    got = capped.collect()
+    from data_reconciliation_spark.lifecycle import release_cached
+
+    release_cached(capped)
+    # only the representative's (doc 0's) cluster survives the star:
+    # rep-to-own-cluster pairs pass the threshold, rep-to-other-cluster
+    # star pairs fail it, and member-member pairs are never enumerated
+    assert {(r["id_a"], r["id_b"]) for r in got} == {
+        (0, i) for i in range(1, m)
+    }
+    pair_recall = len(got) / n_truth
+    assert pair_recall == pytest.approx((m - 1) / (k * m * (m - 1) / 2))
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(0)
