@@ -104,17 +104,30 @@ def sessionize_events(
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     watermark: str = "2 hours",
+    max_open_sessions_per_key: int = 256,
 ) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization via
     ``applyInPandasWithState`` (SURVEY.md §2.10 engine extension; the
     reference has no streaming at all).
 
     Emits one row per CLOSED session: (key, session_start, session_end,
-    n_events).  A session closes when no event arrives within
+    n_events, evicted).  A session closes when no event arrives within
     ``gap_seconds`` (decided by the event-time watermark, so late data
     inside the watermark still extends its session).  State per key is a
-    compact (start, end, count) triple — bounded, spillable to the state
-    store, and timed out via ``GroupStateTimeout.EventTimeTimeout``.
+    list of open (start, end, count) triples — spillable to the state
+    store and timed out via ``GroupStateTimeout.EventTimeTimeout``.
+
+    ``max_open_sessions_per_key`` bounds that list: correctness requires
+    holding EVERY open session (a bridging event inside the watermark
+    may still merge an apparently-finished one), but a long watermark
+    plus adversarial sparse event times would otherwise grow state
+    without limit.  When the cap is exceeded the OLDEST open sessions
+    (by end time) are force-closed and emitted with ``evicted = true``
+    — the flag is the eviction metric (count it downstream).  An
+    evicted session is correct unless a late bridging event later
+    arrives, in which case the session is SPLIT (a fresh session opens;
+    per-event counts are conserved, exactly like watermark-late drops
+    the semantics already accept).
     """
     import datetime as _dt
 
@@ -123,7 +136,7 @@ def sessionize_events(
 
     out_schema = (
         f"{key_col} long, session_start timestamp, session_end timestamp, "
-        "n_events long"
+        "n_events long, evicted boolean"
     )
     # state holds EVERY open session, not just the newest: with
     # out-of-order arrival across micro-batches, an apparently
@@ -165,6 +178,15 @@ def sessionize_events(
         # SAFE close, and it reproduces batch semantics on non-late data
         closed = [s for s in sessions if (s[1] + gap_seconds) * 1000 <= wm_ms]
         open_ = [s for s in sessions if (s[1] + gap_seconds) * 1000 > wm_ms]
+        evicted: list[list[int]] = []
+        if len(open_) > max_open_sessions_per_key:
+            # state cap: force-close the oldest open sessions (by end
+            # time — they are furthest from being extended) and flag
+            # them; the newest max_open_sessions_per_key stay tracked
+            open_.sort(key=lambda s: s[1])
+            n_evict = len(open_) - max_open_sessions_per_key
+            evicted = open_[:n_evict]
+            open_ = open_[n_evict:]
         if open_:
             state.update(
                 (
@@ -180,13 +202,17 @@ def sessionize_events(
             )
         elif state.exists:
             state.remove()
-        for s, e, n in closed:
+        out_rows = [(s, e, n, False) for s, e, n in closed] + [
+            (s, e, n, True) for s, e, n in evicted
+        ]
+        for s, e, n, ev in out_rows:
             yield _pd.DataFrame(
                 {
                     key_col: [key[0]],
                     "session_start": [_dt.datetime.utcfromtimestamp(s)],
                     "session_end": [_dt.datetime.utcfromtimestamp(e)],
                     "n_events": [n],
+                    "evicted": [ev],
                 }
             )
 
