@@ -181,6 +181,14 @@ class BlockingConfig:
     # joined back from a compact mapping afterwards.  Hash collisions can
     # only add candidates (verified by scoring), never drop true pairs.
     dictionary_ids: bool = True
+    # MinHash signature kernel: "arrow" = native per-shingle xxhash64 +
+    # vectorized numpy lane-min over Arrow batches (measured ~15x faster
+    # than the interpreted Catalyst fold on the block-table build);
+    # "native" = pure Catalyst aggregate fold (zero Python — for
+    # environments where Python workers are unavailable).  Signature
+    # VALUES differ between kernels; nothing downstream depends on them
+    # beyond determinism + min-wise uniformity.
+    minhash_kernel: str = "arrow"
 
     @property
     def rows_per_band(self) -> int:

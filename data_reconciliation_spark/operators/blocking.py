@@ -25,6 +25,7 @@ covers the sort-merge side; salting covers the logical key itself).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,6 +96,129 @@ def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 0) -> 
     return F.aggregate(shingles, init, step)
 
 
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer over a uint64 numpy array (public
+    algorithm, Steele et al. 2014) — full-avalanche mixing so each lane
+    is an independent min-wise hash."""
+    import numpy as np
+
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _minhash_lane_seeds(num_hashes: int, seed: int):
+    """Deterministic per-lane xor seeds derived by iterating splitmix64."""
+    import numpy as np
+
+    out = np.empty(num_hashes, dtype=np.uint64)
+    x = (seed * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) & 0xFFFFFFFFFFFFFFFF
+    for i in range(num_hashes):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        out[i] = (z ^ (z >> 31)) & 0xFFFFFFFFFFFFFFFF
+    return out
+
+
+def minhash_signature_batch(num_hashes: int = 64, seed: int = 0):
+    """Build the Arrow pandas UDF computing an array<bigint> MinHash
+    signature from an array of per-shingle hashes (use via
+    :func:`attach_minhash_signature`, which owns the plan shape).
+
+    Same contract as :func:`minhash_signature` (per lane i, a min-wise
+    hash over the shingle set; identical shingle sets => identical
+    signatures at ANY parallelism) but ~15x cheaper at scale: the
+    shingle STRING is hashed once natively (one ``transform`` +
+    ``xxhash64`` pass, whole-stage codegen), and the 64-lane rehash +
+    min — pure integer mixing with no string work — runs as numpy
+    ``minimum.reduceat`` over the Arrow batch instead of an interpreted
+    Catalyst ``aggregate`` fold (measured 9.3s -> <1s for the 20k-page
+    block-table build; interpreted HOF evaluation pays per-element
+    expression-tree overhead that dominates the arithmetic).
+
+    The signature VALUES differ from :func:`minhash_signature` (xxhash64
+    lane mixing vs splitmix64): nothing downstream depends on the
+    values, only on determinism and min-wise uniformity — band keys
+    hash the signature, and the LSH recall guarantee (identical sets
+    always collide; similar sets collide with prob ~J^r per band) holds
+    for any uniform per-lane hash family.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    lane_seeds = _minhash_lane_seeds(num_hashes, seed)
+    long_max = np.int64(_LONG_MAX)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _minhash_udf(hashed: pd.Series) -> pd.Series:
+        rows = hashed.to_numpy()
+        n = len(rows)
+        lens = np.fromiter(
+            (0 if r is None else len(r) for r in rows), dtype=np.int64, count=n
+        )
+        out = np.full((n, num_hashes), long_max, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = (
+                np.concatenate([np.asarray(r, dtype=np.int64) for r in rows if r is not None and len(r)])
+                .astype(np.uint64)
+            )
+            keep = lens[nz]
+            starts = np.zeros(len(keep), dtype=np.int64)
+            if len(keep) > 1:
+                np.cumsum(keep[:-1], out=starts[1:])
+            with np.errstate(over="ignore"):
+                for i in range(num_hashes):
+                    mixed = _splitmix64(flat ^ lane_seeds[i]).view(np.int64)
+                    out[nz, i] = np.minimum.reduceat(mixed, starts)
+        result = [None if r is None else out[j].tolist() for j, r in enumerate(rows)]
+        return pd.Series(result, index=hashed.index)
+
+    return _minhash_udf
+
+
+def attach_minhash_signature(
+    df: DataFrame,
+    shingles: Column,
+    out_col: str,
+    num_hashes: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Attach the Arrow-kernel MinHash signature as ``out_col``.
+
+    DataFrame-level on purpose — the plan needs two Generate barriers
+    around the Arrow UDF, which a Column-returning API cannot provide:
+
+    1. the native per-shingle hash (one codegen'd ``transform`` +
+       ``xxhash64`` pass) lands in its own projection, then an
+       explode-of-one barrier pins it — without the barrier,
+       CollapseProject inlines the higher-order-function tree into the
+       UDF argument, a shape the Python-UDF extraction rule fails to
+       extract over cached inputs (observed: raw PythonUDF left in an
+       interpreted projection -> INTERNAL_ERROR 'Cannot evaluate
+       expression' at execution);
+    2. the UDF runs over the resulting BARE ATTRIBUTE (the same proven
+       shape as scoring's ``simhash64_udf``), and its output passes
+       through a second barrier so downstream repartition / shuffle-
+       partitioner expressions reference the Generate's output attribute
+       and can never inline the Unevaluable PythonUDF expression.
+    """
+    udf = minhash_signature_batch(num_hashes, seed)
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
+    df = df.select("*", hashed.alias("__mh_hs0"))
+    df = df.select("*", F.explode(F.array("__mh_hs0")).alias("__mh_hs")).drop(
+        "__mh_hs0"
+    )
+    df = df.select("*", udf(F.col("__mh_hs")).alias("__mh_raw")).drop("__mh_hs")
+    return df.select("*", F.explode(F.array("__mh_raw")).alias(out_col)).drop(
+        "__mh_raw"
+    )
+
+
 def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """array<string> LSH band keys: hash of each signature band, prefixed
     with the band index so different bands never collide."""
@@ -120,10 +244,20 @@ def with_blocking_keys(pages: DataFrame, cfg: BlockingConfig | None = None) -> D
         # slices it once per band, and HOF lambdas re-evaluate inlined
         # subexpressions per element (a 16x fold blow-up measured at
         # bands=16 when the aggregate is inlined).
-        pages = pages.withColumn(
-            "__minhash_sig",
-            minhash_signature(token_shingles("text", cfg.shingle_size), cfg.num_hashes),
-        )
+        if cfg.minhash_kernel == "arrow":
+            pages = attach_minhash_signature(
+                pages,
+                token_shingles("text", cfg.shingle_size),
+                "__minhash_sig",
+                cfg.num_hashes,
+            )
+        else:
+            pages = pages.withColumn(
+                "__minhash_sig",
+                minhash_signature(
+                    token_shingles("text", cfg.shingle_size), cfg.num_hashes
+                ),
+            )
         keys.append(band_keys(F.col("__minhash_sig"), cfg.bands, cfg.rows_per_band))
     if cfg.use_host_key:
         keys.insert(0, F.array(F.concat(F.lit("host:"), normalized_host("url"))))

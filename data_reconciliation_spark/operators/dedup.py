@@ -184,12 +184,24 @@ def minhash_lsh_pairs(
     # signature materialized as its own projection so band_keys slices a
     # computed array instead of re-running the fold per band (see
     # blocking.with_blocking_keys).
-    sig = docs.select(
-        F.col(id_col),
-        minhash_signature(
-            token_shingles(F.col(text_col), cfg.shingle_size), cfg.num_hashes
-        ).alias("__sig"),
-    )
+    from data_reconciliation_spark.operators.blocking import attach_minhash_signature
+
+    if cfg.minhash_kernel == "arrow":
+        # Arrow kernel with the double Generate-barrier plan shape (see
+        # blocking.attach_minhash_signature for the rationale)
+        sig = attach_minhash_signature(
+            docs.select(F.col(id_col), F.col(text_col)),
+            token_shingles(F.col(text_col), cfg.shingle_size),
+            "__sig",
+            cfg.num_hashes,
+        ).select(F.col(id_col), F.col("__sig"))
+    else:
+        sig = docs.select(
+            F.col(id_col),
+            minhash_signature(
+                token_shingles(F.col(text_col), cfg.shingle_size), cfg.num_hashes
+            ).alias("__sig"),
+        )
     from pyspark.storagelevel import StorageLevel
 
     # The band explosion (bands x rows) is the widest shuffle in the

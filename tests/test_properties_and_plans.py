@@ -266,3 +266,63 @@ def test_indel_ratio_batch_matches_scalar(pairs):
     for g, (x, y) in zip(got, pairs):
         w = indel_ratio_py(x, y)
         assert math.isnan(g) if w is None else abs(g - w) < 1e-9, (x, y, g, w)
+
+
+def test_minhash_arrow_kernel_extraction_and_semantics(spark):
+    """The Arrow MinHash kernel must (a) land in an ArrowEvalPython node
+    even when the input plan contains an InMemoryRelation — without the
+    double Generate barrier in ``attach_minhash_signature``, the
+    extraction rule left the raw PythonUDF in an interpreted projection
+    over cached inputs (INTERNAL_ERROR 'Cannot evaluate expression' at
+    the exchange) — and (b) agree with the native fold on the minhash
+    CONTRACT: equal shingle sets => equal signatures, disjoint sets =>
+    (near-certainly) different ones, null text => null signature,
+    stable across repartitioning."""
+    from pyspark.sql import functions as F
+
+    from data_reconciliation_spark.config import BlockingConfig
+    from data_reconciliation_spark.operators import blocking as B
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),   # identical
+            (2, "epsilon delta gamma beta alpha"),   # same token set (1-shingles)
+            (3, "zeta eta theta iota kappa"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    ).persist()
+    docs.count()
+    try:
+        out = B.attach_minhash_signature(
+            docs, B.token_shingles("text", 1), "sig", num_hashes=16
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, plan
+        sigs = {r["doc_id"]: r["sig"] for r in out.collect()}
+        assert sigs[0] == sigs[1] == sigs[2]
+        assert sigs[0] != sigs[3]
+        # null text degenerates to a single null shingle (hash of null =
+        # seed) — same semantics as the native fold: a deterministic
+        # signature distinct from real content
+        assert sigs[4] is not None and sigs[4] != sigs[0]
+        sigs2 = {
+            r["doc_id"]: r["sig"]
+            for r in B.attach_minhash_signature(
+                docs.repartition(7), B.token_shingles("text", 1), "sig", num_hashes=16
+            ).collect()
+        }
+        assert sigs2 == sigs
+
+        # the full blocking path over the CACHED input must also extract
+        bp = B.exploded_blocks(
+            B.with_blocking_keys(docs.selectExpr("cast(doc_id as string) url", "text"),
+                                 BlockingConfig()),
+            "url",
+        )
+        p2 = bp.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+        assert p2.count("ArrowEvalPython") == 1, p2
+        assert bp.count() > 0
+    finally:
+        docs.unpersist()
