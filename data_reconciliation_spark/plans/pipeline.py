@@ -75,7 +75,7 @@ def link(
             .withColumn("stage", F.lit("scoring"))
             .withColumn("saved_at", F.current_timestamp())
         )
-        metrics.write.mode("append").parquet(checkpoint._lineage_dir)
+        checkpoint.write_lineage(metrics)
 
     components = connected_components(
         matches, src="url_a", dst="url_b", max_iter=max_iter, checkpoint=checkpoint
