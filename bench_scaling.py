@@ -132,6 +132,15 @@ MACHINE_CORES = os.cpu_count() or 32
 def _steal_sec():
     with open("/proc/stat") as f:
         return int(f.readline().split()[8]) / CLK
+def _gc_ms():
+    # cumulative stop-the-world GC time of the driver/executor JVM —
+    # recorded per pass so slow-but-steal-clean passes are attributable
+    beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory \
+        .getGarbageCollectorMXBeans()
+    total, it = 0, beans.iterator()
+    while it.hasNext():
+        total += it.next().getCollectionTime()
+    return total
 def _disk_read_mb():
     tot = 0
     with open("/proc/diskstats") as f:
@@ -140,12 +149,16 @@ def _disk_read_mb():
             if p[2].startswith(("vd", "sd", "nvme")) and not p[2][-1].isdigit():
                 tot += int(p[5]) * 512
     return tot / (1 << 20)
+# MEDIAN OF 5 clean passes (round-3 kept 3; the 32-core leg's clean
+# passes spread up to ±60% on this VM, so a wider sample set stabilizes
+# the median against single slow-but-steal-clean outliers)
+TARGET_SAMPLES = 5
 samples = []
 all_passes = []
 n_matches = 0
 attempt = 0
-while len(samples) < 3 and attempt < 12:
-    st0 = _steal_sec(); dr0 = _disk_read_mb(); t0 = time.time()
+while len(samples) < TARGET_SAMPLES and attempt < 16:
+    st0 = _steal_sec(); dr0 = _disk_read_mb(); g0 = _gc_ms(); t0 = time.time()
     n_matches = score_pairs(pairs).where("is_match").count()
     elapsed = time.time() - t0
     steal_frac = (_steal_sec() - st0) / (elapsed * MACHINE_CORES)  # machine-wide
@@ -155,6 +168,7 @@ while len(samples) < 3 and attempt < 12:
     all_passes.append({"sec": round(elapsed, 2),
                        "pairs_per_sec": round(n_pairs / elapsed, 1),
                        "steal_frac": round(steal_frac, 4),
+                       "gc_ms": _gc_ms() - g0,
                        "disk_read_mb": disk_mb,
                        "warmup": warm, "kept": clean})
     if clean:
@@ -214,22 +228,50 @@ MACHINE_CORES = os.cpu_count() or 32
 def _steal_sec():
     with open("/proc/stat") as f:
         return int(f.readline().split()[8]) / CLK
+def _gc_ms():
+    beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory \
+        .getGarbageCollectorMXBeans()
+    total, it = 0, beans.iterator()
+    while it.hasNext():
+        total += it.next().getCollectionTime()
+    return total
+
+# the pages input cache is the only RDD allowed to SURVIVE across
+# passes — everything else (incl. the closure loop's localCheckpoint
+# RDDs, which the ContextCleaner frees only lazily) is force-unpersisted
+# between passes; without this the first e2e run showed monotonically
+# drifting pass times (32s -> 61s over 8 passes) from block-manager
+# accumulation, which is harness leakage, not pipeline cost.
+input_rdd_ids = set()
+jmap0 = spark.sparkContext._jsc.getPersistentRDDs()
+for k in jmap0.keySet().toArray():
+    input_rdd_ids.add(int(str(k)))
+
+def _drop_noninput_rdds():
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(str(k)) not in input_rdd_ids:
+            jmap.get(k).unpersist()
+    spark.sparkContext._jvm.System.gc()
+
 samples = []; all_passes = []
 n_pairs = 0; n_matches = 0; n_clusters = 0
 attempt = 0
-while len(samples) < 2 and attempt < 8:
-    st0 = _steal_sec(); t0 = time.time()
+while len(samples) < 3 and attempt < 10:
+    st0 = _steal_sec(); g0 = _gc_ms(); t0 = time.time()
     res = link(pages)
     n_pairs = res.scored_pairs.count()
     n_clusters = res.clusters.count()
     elapsed = time.time() - t0
     res.release()
+    _drop_noninput_rdds()
     steal_frac = (_steal_sec() - st0) / (elapsed * MACHINE_CORES)
     warm = attempt < 2   # C2/codegen needs two warmup passes at local[32]
     clean = (not warm) and steal_frac < 0.02
     all_passes.append({"sec": round(elapsed, 2),
                        "pairs_per_sec": round(n_pairs / elapsed, 1),
                        "steal_frac": round(steal_frac, 4),
+                       "gc_ms": _gc_ms() - g0,
                        "warmup": warm, "kept": clean})
     if clean:
         samples.append(elapsed)
@@ -369,7 +411,7 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     payload = {"low": lo, "high": hi, "parallelism_ratio": ratio,
                "scaling_efficiency": eff,
-               "samples_per_config": 3,
+               "samples_per_config": 5,
                "steal_gate": 0.02}
 
     if not args.skip_e2e:
