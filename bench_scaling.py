@@ -38,8 +38,14 @@ spark = build_session(app_name=f"recon-scaling-{cores}",
                       shuffle_partitions=128,
                       extra_conf={
                           # flat GC pauses at 32 concurrent tasks; the
-                          # timed stage must measure compute, not GC
-                          "spark.driver.extraJavaOptions": "-XX:+UseG1GC",
+                          # timed stage must measure compute, not GC.
+                          # Fixed pre-touched heap: per-pass gc_ms showed
+                          # pass time tracking inherited heap debt (19.1s
+                          # GC -> 169s pass vs 0.3s GC -> 11.7s pass for
+                          # the same work) — commit-fault stalls and heap
+                          # growth must happen in untimed setup, not mid-pass
+                          "spark.driver.extraJavaOptions":
+                              "-XX:+UseG1GC -Xms32g -XX:+AlwaysPreTouch",
                           # the scoring UDF ships only short urls/titles,
                           # so large Arrow batches are safe and amortize
                           # the numpy-vectorized kernels: measured 2x on
@@ -158,6 +164,11 @@ all_passes = []
 n_matches = 0
 attempt = 0
 while len(samples) < TARGET_SAMPLES and attempt < 16:
+    # benchmark heap hygiene: drain garbage from the setup phase / the
+    # previous pass OUTSIDE the timed window, so each pass starts from
+    # a clean heap and gc_ms measures the pass's own allocation cost
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.5)
     st0 = _steal_sec(); dr0 = _disk_read_mb(); g0 = _gc_ms(); t0 = time.time()
     n_matches = score_pairs(pairs).where("is_match").count()
     elapsed = time.time() - t0
@@ -208,7 +219,8 @@ spark = build_session(app_name=f"recon-scaling-e2e-{cores}",
                       master=f"local[{cores}]",
                       shuffle_partitions=128,
                       extra_conf={
-                          "spark.driver.extraJavaOptions": "-XX:+UseG1GC",
+                          "spark.driver.extraJavaOptions":
+                              "-XX:+UseG1GC -Xms32g -XX:+AlwaysPreTouch",
                           "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
                       })
 spark.sparkContext.setLogLevel("ERROR")
@@ -258,6 +270,8 @@ samples = []; all_passes = []
 n_pairs = 0; n_matches = 0; n_clusters = 0
 attempt = 0
 while len(samples) < 3 and attempt < 10:
+    spark.sparkContext._jvm.System.gc()  # drain setup/previous-pass garbage untimed
+    time.sleep(0.5)
     st0 = _steal_sec(); g0 = _gc_ms(); t0 = time.time()
     res = link(pages)
     n_pairs = res.scored_pairs.count()
@@ -395,7 +409,7 @@ def sync_headline_claims(payload: dict) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=150_000)
-    ap.add_argument("--e2e-pages", type=int, default=50_000)
+    ap.add_argument("--e2e-pages", type=int, default=100_000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--mem", default="48g")

@@ -182,6 +182,17 @@ class AuditStore:
     def _table(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    # storage transport — overridden by JdbcAuditStore; every public
+    # method reads/writes exclusively through these two hooks
+    def _write(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(self._table(name))
+
+    def _read(self, name: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self._table(name))
+        except Exception:
+            return None
+
     def save_run(
         self,
         system_name: str,
@@ -222,7 +233,7 @@ class AuditStore:
             "run_id string, date timestamp, match_rate double, system_name string, "
             "num_exceptions long, primary_key_used string",
         )
-        header.write.mode("append").parquet(self._table("runs"))
+        self._write(header, "runs")
         # deterministic per-run exception index (the reference's implicit
         # list position, app.py:403) so the rejection loop can reference
         # individual exceptions stably.  dense_sorted_index assigns the
@@ -230,23 +241,17 @@ class AuditStore:
         # no Window.partitionBy(lit(1)) single-task global sort.
         indexed = dense_sorted_index(exceptions, "exc_idx")
         try:
-            indexed.withColumn("run_id", F.lit(run_id)).write.mode(
-                "append"
-            ).parquet(self._table("exceptions"))
+            self._write(indexed.withColumn("run_id", F.lit(run_id)), "exceptions")
         finally:
             release_index_source(indexed)
         return run_id
 
     def read_runs(self) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self._table("runs"))
-        except Exception:
-            return None
+        return self._read("runs")
 
     def read_exceptions(self, run_id: str | None = None) -> DataFrame | None:
-        try:
-            df = self.spark.read.parquet(self._table("exceptions"))
-        except Exception:
+        df = self._read("exceptions")
+        if df is None:
             return None
         return df.where(F.col("run_id") == run_id) if run_id else df
 
@@ -261,12 +266,11 @@ class AuditStore:
         df = self.spark.createDataFrame(
             [(run_id, int(i)) for i in exc_indices], "run_id string, exc_idx long"
         )
-        df.write.mode("append").parquet(self._table("rejections"))
+        self._write(df, "rejections")
 
     def _rejected(self, run_id: str) -> DataFrame | None:
-        try:
-            df = self.spark.read.parquet(self._table("rejections"))
-        except Exception:
+        df = self._read("rejections")
+        if df is None:
             return None
         return df.where(F.col("run_id") == run_id).select("exc_idx").distinct()
 
@@ -453,5 +457,54 @@ class IcebergCheckpointManager:
     def lineage(self) -> DataFrame | None:
         try:
             return self.spark.table(self._tbl("lineage"))
+        except Exception:
+            return None
+
+
+class JdbcAuditStore(AuditStore):
+    """`AuditStore` over a LIVE JDBC database — the reference's actual
+    transport (``backend/models.py`` via SQLAlchemy to Postgres,
+    ``etl.py:63-68``).  Same public surface; only the `_read`/`_write`
+    transport hooks differ, going through ``spark.read/write.jdbc``.
+
+    Tested end-to-end against the embedded Apache Derby engine that
+    ships in Spark's classpath (``tests/test_jdbc_sink.py``) — the
+    identical Spark code path a Postgres deployment uses; only the URL
+    and driver class change::
+
+        JdbcAuditStore(spark, "jdbc:postgresql://host/db",
+                       driver="org.postgresql.Driver")
+
+    ``pushDownPredicate`` is disabled on reads because Derby maps Spark
+    ``StringType`` to CLOB, on which Derby rejects pushed ``=``
+    predicates; filters evaluate Spark-side instead (audit tables are
+    small — the reference serves them from single Postgres queries).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        driver: str = "org.apache.derby.jdbc.EmbeddedDriver",
+    ):
+        self.spark = spark
+        self.url = url
+        self.driver = driver
+
+    def _write(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").jdbc(
+            self.url, name, properties={"driver": self.driver}
+        )
+
+    def _read(self, name: str) -> DataFrame | None:
+        try:
+            return (
+                self.spark.read.format("jdbc")
+                .option("url", self.url)
+                .option("dbtable", name)
+                .option("driver", self.driver)
+                .option("pushDownPredicate", "false")
+                .load()
+            )
         except Exception:
             return None
