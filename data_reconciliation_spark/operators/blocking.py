@@ -308,6 +308,7 @@ def candidate_pairs(
     cfg: BlockingConfig | None = None,
     id_col: str = "url",
     payload_cols: tuple[str, ...] = (),
+    keep_hashed_ids: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from all blocking keys.
 
@@ -316,8 +317,20 @@ def candidate_pairs(
     blocks still generate content-similar candidates because band keys
     partition by *content*, not host.  Excluded block stats are returned
     via ``candidate_pairs.stats`` on the driver for lineage/metrics.
+
+    ``keep_hashed_ids`` (with ``cfg.dictionary_ids``): skip the two
+    mapping joins that translate the 8-byte dictionary ids back to real
+    ids — the caller joins its per-id payload keyed by
+    ``xxhash64(id)`` instead and recovers the real id from the payload
+    row, saving two passes over the (wide) pair table.  Requires
+    ``payload_cols == ()``; pair ordering ``id_a < id_b`` is then on
+    the hash domain.  An xxhash64 birthday collision double-attaches a
+    payload (a duplicated candidate pair — scored identically, harmless
+    to closure) rather than losing anything.
     """
     cfg = cfg or BlockingConfig()
+    if keep_hashed_ids and payload_cols:
+        raise ValueError("keep_hashed_ids requires payload_cols=()")
     keyed = with_blocking_keys(pages, cfg)
     blocks = exploded_blocks(keyed, id_col)
 
@@ -387,6 +400,10 @@ def candidate_pairs(
     if star is not None:
         pairs = pairs.unionByName(star)
     pairs = pairs.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
+    if cfg.dictionary_ids and keep_hashed_ids:
+        from data_reconciliation_spark.lifecycle import register_cached
+
+        return register_cached(pairs, blocks_cache)
     if cfg.dictionary_ids:
         # map compact uids back to real ids and re-orient so
         # id_a < id_b holds on the REAL id domain (the dedup ordering

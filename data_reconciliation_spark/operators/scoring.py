@@ -267,28 +267,38 @@ def block_score_pipeline(
     from pyspark.storagelevel import StorageLevel
 
     prep = prepare_pages(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    blocking_cfg = blocking_cfg or BlockingConfig()
     cand = candidate_pairs(
         prep.select("url", F.col("norm_text").alias("text")),
         blocking_cfg,
         id_col="url",
         payload_cols=(),
+        keep_hashed_ids=blocking_cfg.dictionary_ids,
     )
-    pairs = cand.withColumnsRenamed({"id_a": "url_a", "id_b": "url_b"})
-    pa = prep.select(
-        F.col("url").alias("url_a"),
-        F.col("canon_url").alias("canon_url_a"),
-        F.col("title").alias("title_a"),
-        F.col("tok_hashes").alias("tok_hashes_a"),
-        F.col("simhash").alias("simhash_a"),
-    )
-    pb = prep.select(
-        F.col("url").alias("url_b"),
-        F.col("canon_url").alias("canon_url_b"),
-        F.col("title").alias("title_b"),
-        F.col("tok_hashes").alias("tok_hashes_b"),
-        F.col("simhash").alias("simhash_b"),
-    )
-    pairs = pairs.join(pa, "url_a").join(pb, "url_b")
+    # Payload joins double as the id-recovery step: with dictionary ids
+    # the pair table carries 8-byte xxhash64(url) keys, and the payload
+    # side is keyed by the same hash while CARRYING the real url — one
+    # (broadcast-sized) join per side instead of separate mapping joins
+    # + payload joins (two fewer passes over the wide pair table).
+    def payload(suffix: str):
+        return [
+            F.col("url").alias(f"url_{suffix}"),
+            F.col("canon_url").alias(f"canon_url_{suffix}"),
+            F.col("title").alias(f"title_{suffix}"),
+            F.col("tok_hashes").alias(f"tok_hashes_{suffix}"),
+            F.col("simhash").alias(f"simhash_{suffix}"),
+        ]
+
+    if blocking_cfg.dictionary_ids:
+        pa = prep.select(F.xxhash64("url").alias("id_a"), *payload("a"))
+        pb = prep.select(F.xxhash64("url").alias("id_b"), *payload("b"))
+        pairs = cand.join(pa, "id_a").join(pb, "id_b").drop("id_a", "id_b")
+    else:
+        pairs = (
+            cand.withColumnsRenamed({"id_a": "url_a", "id_b": "url_b"})
+            .join(prep.select(*payload("a")), "url_a")
+            .join(prep.select(*payload("b")), "url_b")
+        )
     # the prep cache plus the block-table cache candidate_pairs
     # registered are handed to the caller for release (lifecycle
     # contract); link() folds them into LinkResult.release()
