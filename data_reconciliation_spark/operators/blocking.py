@@ -163,10 +163,17 @@ def minhash_signature_batch(num_hashes: int = 64, seed: int = 0):
         out = np.full((n, num_hashes), long_max, dtype=np.int64)
         nz = lens > 0
         if nz.any():
-            flat = (
-                np.concatenate([np.asarray(r, dtype=np.int64) for r in rows if r is not None and len(r)])
-                .astype(np.uint64)
-            )
+            parts = [np.asarray(r) for r in rows if r is not None and len(r)]
+            for p in parts:
+                if p.dtype.kind == "f":
+                    # a null list slot in the Arrow batch degrades the
+                    # whole int64 values buffer to float64 (silent
+                    # precision loss beyond 2^53) — fail loudly
+                    raise TypeError(
+                        "minhash kernel: hash array arrived as float "
+                        "(null list slot upstream?)"
+                    )
+            flat = np.concatenate(parts).astype(np.int64).view(np.uint64)
             keep = lens[nz]
             starts = np.zeros(len(keep), dtype=np.int64)
             if len(keep) > 1:

@@ -310,6 +310,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_bucket_size: int | None = 1000,
     use_native: bool = True,
+    arrow_sig: bool = True,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit signature, blocked on 64/n_chunks-bit
     chunks.
@@ -345,7 +346,20 @@ def simhash_pairs(
 
     # persist: the chunk table feeds both self-join sides; the per-doc
     # SimHash signature must be computed exactly once per document
-    if use_native:
+    if use_native and arrow_sig:
+        # same md5-nibble VALUE as simhash64_native (oracle unchanged),
+        # computed by the vectorized Arrow kernel — differential-tested
+        # bit-exact; arrow_sig=False keeps the zero-Python Catalyst fold
+        from data_reconciliation_spark.functions.similarity import (
+            attach_simhash64_md5,
+        )
+
+        sig = attach_simhash64_md5(
+            docs.select(F.col(id_col), normalized_text(F.col(text_col)).alias("__nt")),
+            F.col("__nt"),
+            "simhash",
+        ).select(F.col(id_col), F.col("simhash")).persist(StorageLevel.MEMORY_AND_DISK)
+    elif use_native:
         from data_reconciliation_spark.functions.similarity import simhash64_native
 
         sig = docs.select(

@@ -326,3 +326,43 @@ def test_minhash_arrow_kernel_extraction_and_semantics(spark):
         assert bp.count() > 0
     finally:
         docs.unpersist()
+
+
+def test_simhash_arrow_kernel_bit_exact(spark):
+    """``attach_simhash64_md5`` must be BIT-EXACT to both
+    ``simhash64_native`` (Catalyst fold) and the pure-python oracle on
+    random corpora incl. empty/null/single-token texts and the 16383-
+    token guard — that exactness is what keeps the DuckDB simhash
+    oracle valid for the Arrow kernel.  Also guards the two silent-
+    float-corruption modes found building it: a null list slot
+    degrading the Arrow input buffer to float64 (prevented by native
+    coalesce-to-empty), and a None-bearing output Series coercing to
+    float64 (prevented by dtype=object)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_reconciliation_spark.functions.similarity import (
+        attach_simhash64_md5,
+        simhash64_md5_py,
+        simhash64_native,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"tok{i}" for i in range(150)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 50))))
+        for i in range(120)
+    ]
+    rows += [(900, ""), (901, None), (902, "one"), (903, "a a b b")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["sig"] for r in attach_simhash64_md5(df, "text", "sig").collect()}
+    nat = {
+        r["id"]: r["sig"]
+        for r in df.select("id", simhash64_native(F.col("text")).alias("sig")).collect()
+    }
+    for i, t in rows:
+        assert got[i] == nat[i] == simhash64_md5_py(t), (i, got[i], nat[i])
+
+    big = spark.createDataFrame([(0, " ".join(["x"] * 16384))], "id long, text string")
+    assert attach_simhash64_md5(big, "text", "sig").collect()[0]["sig"] is None
