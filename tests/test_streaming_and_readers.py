@@ -97,9 +97,10 @@ def test_incremental_exception_stream(spark, tmp_path):
 
 def test_readers_and_validators(spark, tmp_path):
     assert file_type_allowed("data.csv") and not file_type_allowed("evil.exe")
-    # legacy BIFF .xls is honestly rejected (no xlrd in env; only
-    # zip-based .xlsx is parseable) — see readers.ALLOWED_EXTENSIONS
-    assert file_type_allowed("book.xlsx") and not file_type_allowed("book.xls")
+    # legacy BIFF .xls is admitted since round 4 (pure-stdlib BIFF8
+    # reader in sources/xls.py; reference parity via helpers.py:6-19)
+    assert file_type_allowed("book.xlsx") and file_type_allowed("book.xls")
+    assert not file_type_allowed("book.exe") and not file_type_allowed("noext")
     assert same_system_gate("sales_2024.csv", "sales-old.xlsx")
     assert not same_system_gate("sales_2024.csv", "inventory_2024.csv")
 
