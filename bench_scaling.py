@@ -198,6 +198,11 @@ result = {"cores": cores, "pages": n_pages, "pairs": n_pairs,
           "matches": n_matches, "seconds": round(med, 2),
           "pairs_per_sec": round(n_pairs / med, 1),
           "clean_samples": 0 if steal_polluted else len(samples),
+          # hit the attempt cap without the full clean-sample quota:
+          # the leg ran in sustained steal weather and its median is
+          # not comparable to a clean leg — the parent renders the
+          # verdict INCONCLUSIVE instead of PASS/FAIL
+          "degraded": steal_polluted or len(samples) < TARGET_SAMPLES,
           "steal_polluted": steal_polluted,
           "passes": all_passes}
 print("RESULT " + json.dumps(result))
@@ -346,6 +351,14 @@ def sync_headline_claims(payload: dict) -> None:
     lo, hi = payload["low"], payload["high"]
     n = payload["samples_per_config"]
     status = "PASS" if eff >= 0.8 else "FAIL"
+    if lo.get("degraded") or hi.get("degraded"):
+        # >=1 leg could not collect its full clean-sample quota inside
+        # the attempt cap (sustained hypervisor steal): its median is
+        # not comparable to a clean leg, so no PASS/FAIL verdict is
+        # published from this run — the per-run history carries the
+        # clean measurements
+        status = ("INCONCLUSIVE (degraded leg: sustained steal — see "
+                  "BENCH/scaling_history.jsonl for clean runs)")
     if lo.get("steal_polluted") or hi.get("steal_polluted"):
         # no steal-clean pass was obtained on >=1 leg: the number is a
         # median of polluted passes — never let it read as a clean PASS
@@ -428,6 +441,16 @@ def main() -> None:
                "samples_per_config": 5,
                "steal_gate": 0.02}
 
+    if args.skip_e2e:
+        # keep the most recent e2e measurement in the artifact (it is
+        # informational; --skip-e2e reruns only the gated scoring legs)
+        try:
+            with open("BENCH/scaling.json") as f:
+                prev = json.load(f)
+            if "e2e" in prev:
+                payload["e2e"] = dict(prev["e2e"], carried_forward=True)
+        except Exception:
+            pass
     if not args.skip_e2e:
         # Full-pipeline scaling (round-3 verdict #4): blocking + scoring
         # + closure + label join end-to-end.  NOT the gated metric —
@@ -442,6 +465,25 @@ def main() -> None:
                                        "+ transitive closure + label join"}
     with open("BENCH/scaling.json", "w") as f:
         json.dump(payload, f, indent=2)
+    # append-only run history: every harness invocation leaves a summary
+    # line so repeatability (and VM-noise spread) is auditable across
+    # runs, not just within one
+    import time as _time
+
+    with open("BENCH/scaling_history.jsonl", "a") as f:
+        f.write(json.dumps({
+            "ts": int(_time.time()),
+            "scoring_efficiency": eff,
+            "low_pps": lo["pairs_per_sec"],
+            "high_pps": hi["pairs_per_sec"],
+            "low_clean": lo["clean_samples"],
+            "high_clean": hi["clean_samples"],
+            "steal_polluted": bool(lo.get("steal_polluted") or hi.get("steal_polluted")),
+            "degraded": bool(lo.get("degraded") or hi.get("degraded")),
+            "e2e_efficiency": payload.get("e2e", {}).get("scaling_efficiency"),
+            "e2e_carried_forward": payload.get("e2e", {}).get("carried_forward", False),
+            "pages": args.pages,
+        }) + "\n")
 
     md = f"""# BENCH/BASELINE — throughput & scaling evidence
 
