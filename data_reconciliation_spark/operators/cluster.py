@@ -1,6 +1,7 @@
 """Transitive clustering: connected components via alternating
 large-star / small-star contraction (Kiveris et al., "Connected
-Components in MapReduce and Beyond") expressed as pure DataFrame joins.
+Components in MapReduce and Beyond") expressed as pure DataFrame joins,
+with a driver-side union-find finish for small residual graphs.
 
 The reference has no clustering — its exceptions grouped per PK are
 implicit pairwise verdicts (SURVEY.md §1.1); the engine makes entities
@@ -19,11 +20,31 @@ Design notes for 10^12-node scale:
   (north rule).  See ``sources/state.py`` for the resume protocol.
 * Convergence is detected by an exact changed-edge count
   (anti-join of consecutive edge sets), one cheap job per round.
+* **Hybrid finish**: once the edge set fits a bounded driver budget
+  (default 2M edges ≈ 32 MB of ids), the remaining closure runs as a
+  numpy scatter-min + pointer-doubling union-find on the driver — the
+  standard "finish locally when the contracted graph fits" step of
+  MapReduce CC algorithms (Kiveris et al. §6 use the same hybrid).
+  This removes the latency-bound tail (driver round-trips dominate
+  sub-second jobs) without touching the at-scale story: star
+  contraction's fixpoint keeps one edge per non-root node, so a
+  10^12-node graph *never* drops under the threshold and runs the
+  fully-distributed loop throughout.  ``local_finish_threshold=0``
+  forces the distributed path (used by tests and the scale profile).
+* **Conf isolation**: the latency-regime tuning (AQE off + small fixed
+  shuffle partitioning for sub-second rounds) runs in a *cloned
+  SparkSession* (``SparkSession.newSession`` — own SQLConf, shared
+  SparkContext), never by mutating the caller's session conf, so
+  concurrent queries on a shared long-running driver are planned
+  untouched (round-4 ADVICE).  Plans cross sessions via
+  ``Dataset.ofRows`` on self-contained subtrees (checkpointed RDD
+  scans), and the final labels plan is re-bound to the caller's
+  session so downstream composition plans under the caller's conf.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_reconciliation_spark.sources.state import CheckpointManager
@@ -70,12 +91,94 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _rebind(df: DataFrame, session: SparkSession) -> DataFrame:
+    """Re-bind ``df``'s analyzed plan to another session sharing the
+    same SparkContext (``Dataset.ofRows``).  Valid for self-contained
+    plans (no temp-view references) — everything here is checkpointed
+    RDD scans plus joins/aggregations built on them."""
+    jvm = session._jvm
+    plan = df._jdf.queryExecution().analyzed()
+    try:  # Spark 4.x
+        jds = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            session._jsparkSession, plan
+        )
+    except Exception:  # pragma: no cover — Spark 3.x fallback
+        jds = jvm.org.apache.spark.sql.Dataset.ofRows(session._jsparkSession, plan)
+    return DataFrame(jds, session)
+
+
+def _coerce_partitions(raw: object, fallback: int) -> int:
+    """'auto' (allowed by some Spark distributions) or any non-numeric
+    value falls back instead of raising (round-4 ADVICE)."""
+    try:
+        return int(raw)  # type: ignore[arg-type]
+    except (TypeError, ValueError):
+        return fallback
+
+
+def _parse_partitions(spark: SparkSession) -> int:
+    """Session shuffle partitions as an int; non-numeric values fall
+    back to the context default parallelism."""
+    return _coerce_partitions(
+        spark.conf.get("spark.sql.shuffle.partitions", "200"),
+        spark.sparkContext.defaultParallelism,
+    )
+
+
+def _local_union_find(e: DataFrame) -> DataFrame:
+    """Driver-side closure of a small edge set: numpy scatter-min +
+    pointer doubling (Shiloach-Vishkin flavor), O(E log V) array passes.
+
+    Returns (node, component=min id in component) for every node that
+    appears in an edge — identical semantics and output schema to the
+    distributed path.  Works for any orderable id type; non-numeric ids
+    go through pandas factorization (codes are ordinal in sorted-unique
+    order, so min-code == min-value).
+    """
+    import numpy as np
+
+    spark = e.sparkSession
+    node_type = e.schema["src"].dataType
+    pdf = e.toPandas()
+    out_schema = f"node {node_type.simpleString()}, component {node_type.simpleString()}"
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema=out_schema)
+
+    nodes, codes = np.unique(
+        np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]),
+        return_inverse=True,
+    )
+    ea, eb = codes[: len(pdf)], codes[len(pdf):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = parent
+        m = np.minimum(parent[ea], parent[eb])
+        np.minimum.at(parent, ea, m)
+        np.minimum.at(parent, eb, m)
+        # pointer doubling to the current fixpoint of parent[parent]
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        if np.array_equal(parent, before):
+            break
+
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "component": nodes[parent]}),
+        schema=out_schema,
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
     checkpoint: CheckpointManager | None = None,
+    local_finish_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Return ``(node, component)`` where component = min node id of the
     connected component.  Nodes appearing in no edge are absent (caller
@@ -84,7 +187,12 @@ def connected_components(
     If ``checkpoint`` is given, every completed round persists the edge
     set; a re-run with the same manager resumes from the last completed
     round instead of iteration 0.
+
+    ``local_finish_threshold`` bounds the driver-side finish (edges; 0
+    disables it).  Distributed rounds run while the edge set exceeds
+    it; see the module docstring for why large graphs never hit it.
     """
+    caller = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src") != F.col("dst")
     ).distinct()
@@ -114,86 +222,97 @@ def connected_components(
         return out, (got["n"], got["h"])
 
     # initial materialization folds the first fingerprint into the same
-    # job (observe) — one job instead of checkpoint + separate agg
+    # job (observe) — one job instead of checkpoint + separate agg.
+    # This runs under the CALLER's conf: the raw edge set is the
+    # data-bound part and should get the session's AQE treatment.
     e, fp_prev = _checkpoint_with_fingerprint(e)
 
-    # The loop is LATENCY-bound once the edge set is small: each round
-    # is one tiny job and the total cost is rounds x (stage scheduling
-    # + AQE re-planning), not data.  Measured on the 100k-node chain
-    # fixture (6 rounds, local[32]): AQE on + 32 shuffle partitions =
-    # 12.6s; AQE off + 8 partitions = 6.7s; AQE off + 32 partitions =
-    # 20.3s (task-launch overhead) — so BOTH knobs must move together.
-    # The regime is chosen per round from the OBSERVED edge count of
-    # the previous round: small edge sets get fixed small partitioning
-    # with AQE off; large ones keep the session's AQE + partitioning
-    # (data-bound regime, where AQE's coalescing/skew-splitting is the
-    # right tool).  A shrinking closure naturally migrates from the
-    # data-bound to the latency-bound regime as components contract.
-    # Conf changes are session-scoped, hence saved/restored.
+    if 0 < fp_prev[0] <= local_finish_threshold:
+        return _local_union_find(e)
+
+    # Distributed regime.  The loop is LATENCY-bound once the edge set
+    # is small: each round is one tiny job and the total cost is rounds
+    # x (stage scheduling + AQE re-planning), not data.  Measured on
+    # the 100k-node chain fixture (6 rounds, local[32]): AQE on + 32
+    # shuffle partitions = 12.6s; AQE off + 8 partitions = 6.7s; AQE
+    # off + 32 partitions = 20.3s (task-launch overhead) — so BOTH
+    # knobs must move together.  The regime is chosen per round from
+    # the OBSERVED edge count of the previous round: small edge sets
+    # get fixed small partitioning with AQE off; large ones keep the
+    # caller's AQE + partitioning (data-bound regime, where AQE's
+    # coalescing/skew-splitting is the right tool).  A shrinking
+    # closure naturally migrates between regimes as components
+    # contract.  All of this happens in an ISOLATED cloned session so
+    # the caller's conf is never touched (round-4 ADVICE).
     # (Fusing two rounds per materialization was also measured — 19.1s
     # vs 14-15s unfused — Catalyst recomputes the first round's subtree
     # for each of the second round's consumers, so fusing loses.)
-    spark = edges.sparkSession
-    sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    sess_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    sess_parts = _parse_partitions(caller)
+    sess_aqe = caller.conf.get("spark.sql.adaptive.enabled", "true")
+    iso = caller.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
+    iso.conf.set("spark.sql.adaptive.enabled", sess_aqe)
+    e = _rebind(e, iso)
+
     LATENCY_REGIME_EDGES = 2_000_000
     ROWS_PER_PARTITION = 12_000
 
+    def _regime_parts(n_edges: int) -> int:
+        return max(4, min(sess_parts, n_edges // ROWS_PER_PARTITION + 1))
+
     def _tune(n_edges: int) -> None:
         if n_edges < LATENCY_REGIME_EDGES:
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(max(4, min(int(sess_parts), n_edges // ROWS_PER_PARTITION + 1))),
-            )
+            iso.conf.set("spark.sql.adaptive.enabled", "false")
+            iso.conf.set("spark.sql.shuffle.partitions", str(_regime_parts(n_edges)))
         else:
-            spark.conf.set("spark.sql.adaptive.enabled", sess_aqe)
-            spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+            iso.conf.set("spark.sql.adaptive.enabled", sess_aqe)
+            iso.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
 
     converged = False
-    try:
-        for it in range(start_iter, max_iter):
-            _tune(fp_prev[0])
-            new_e, fp_new = _checkpoint_with_fingerprint(
-                _small_star(_large_star(e, dedup=False))
-            )
-            # convergence: cheap fingerprint gate, then an exact one-sided
-            # exceptAll to CONFIRM equality (both sets are distinct, so
-            # equal count + empty difference proves set equality).  The
-            # exact check runs only at the candidate fixpoint.
-            changed = 1
-            if fp_new == fp_prev:
-                changed = new_e.exceptAll(e).limit(1).count()
-            if checkpoint is not None:
-                checkpoint.save(it + 1, new_e)
-            e, fp_prev = new_e, fp_new
-            if changed == 0:
-                converged = True
-                break
-        if not converged:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} rounds"
-            )
-
-        # stars: (v -> m) edges + centers' self-labels.  The explicit
-        # repartition pins the final aggregation's single shuffle to the
-        # regime-appropriate partition count even though it executes
-        # after the session conf is restored (hash partitioning on
-        # `node` satisfies the groupBy's clustering requirement, so no
-        # second exchange is added).
-        n_final = fp_prev[0]
-        if n_final < LATENCY_REGIME_EDGES:
-            parts = max(4, min(int(sess_parts), n_final // ROWS_PER_PARTITION + 1))
-        else:
-            parts = int(sess_parts)
-        labels = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
-        centers = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
-        return (
-            labels.unionAll(centers)
-            .repartition(parts, "node")
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+    for it in range(start_iter, max_iter):
+        _tune(fp_prev[0])
+        new_e, fp_new = _checkpoint_with_fingerprint(
+            _small_star(_large_star(e, dedup=False))
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", sess_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+        # convergence: cheap fingerprint gate, then an exact one-sided
+        # exceptAll to CONFIRM equality (both sets are distinct, so
+        # equal count + empty difference proves set equality).  The
+        # exact check runs only at the candidate fixpoint.
+        changed = 1
+        if fp_new == fp_prev:
+            changed = new_e.exceptAll(e).limit(1).count()
+        if checkpoint is not None:
+            checkpoint.save(it + 1, new_e)
+        e, fp_prev = new_e, fp_new
+        if changed == 0:
+            converged = True
+            break
+        if 0 < fp_prev[0] <= local_finish_threshold:
+            # contracted under the driver budget mid-loop: finish there
+            return _local_union_find(_rebind(e, caller))
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    # stars: (v -> m) edges + centers' self-labels.  The explicit
+    # repartition pins the final aggregation's single shuffle to the
+    # regime-appropriate partition count even under the caller's AQE
+    # (user-specified repartition counts are not coalesced), and hash
+    # partitioning on `node` satisfies the groupBy's clustering
+    # requirement, so no second exchange is added.
+    n_final = fp_prev[0]
+    parts = (
+        _regime_parts(n_final) if n_final < LATENCY_REGIME_EDGES else sess_parts
+    )
+    labels = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    centers = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    out = (
+        labels.unionAll(centers)
+        .repartition(parts, "node")
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    # hand the result back on the caller's session so downstream
+    # composition plans under the caller's conf, not the iso regime
+    return _rebind(out, caller)

@@ -293,6 +293,28 @@ def block_score_pipeline(
         pa = prep.select(F.xxhash64("url").alias("id_a"), *payload("a"))
         pb = prep.select(F.xxhash64("url").alias("id_b"), *payload("b"))
         pairs = cand.join(pa, "id_a").join(pb, "id_b").drop("id_a", "id_b")
+        # candidate_pairs guarantees id_a < id_b only on the HASH
+        # domain; re-orient on the recovered real ids so the scored
+        # output upholds url_a < url_b like the string-id path (round-4
+        # ADVICE — consumers and unions canonicalize by real-id order).
+        # All scoring features are symmetric, so swapping sides before
+        # score_pairs cannot change any verdict.  (An xxhash64 collision
+        # fans a pair out into one row per colliding payload — each
+        # still scored independently, a bounded-degradation, not a
+        # correctness, concern.)
+        flip = F.col("url_a") > F.col("url_b")
+        sides = ["url", "canon_url", "title", "tok_hashes", "simhash"]
+        pairs = pairs.select(
+            *[
+                F.when(flip, F.col(f"{c}_b")).otherwise(F.col(f"{c}_a")).alias(f"{c}_a")
+                for c in sides
+            ],
+            *[
+                F.when(flip, F.col(f"{c}_a")).otherwise(F.col(f"{c}_b")).alias(f"{c}_b")
+                for c in sides
+            ],
+            *[c for c in pairs.columns if not c.endswith(("_a", "_b"))],
+        )
     else:
         pairs = (
             cand.withColumnsRenamed({"id_a": "url_a", "id_b": "url_b"})

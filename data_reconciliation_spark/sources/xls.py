@@ -49,9 +49,18 @@ def _ole_stream(data: bytes, *names: str) -> bytes:
     first_difat = _u32(data, 68)
     n_difat = _u32(data, 72)
 
+    # Per [MS-CFB] §2.1 sector #n begins at byte (n + 1) * sector_size:
+    # the 512-byte header occupies the rest of "sector -1" when
+    # sector_size > 512 (v4 files use 4096-byte sectors).  The previous
+    # ``512 + sid * sector_size`` form was only correct for v3.
     def sector(sid: int) -> bytes:
-        off = 512 + sid * sector_size
+        off = (sid + 1) * sector_size
         return data[off: off + sector_size]
+
+    # Hard bound for any chain walk: a well-formed chain can never have
+    # more sectors than the file itself contains.  Walking past this
+    # means a cycle or corrupt FAT, never a legitimately huge stream.
+    max_sectors = len(data) // sector_size + 1
 
     # FAT sector list: 109 header DIFAT slots + chained DIFAT sectors
     fat_sids: list[int] = []
@@ -72,9 +81,20 @@ def _ole_stream(data: bytes, *names: str) -> bytes:
     fat_sids = fat_sids[:n_fat]
     fat = b"".join(sector(s) for s in fat_sids)
 
-    def chain(start: int, limit: int = 1 << 22) -> bytes:
+    def chain(start: int) -> bytes:
+        """Walk a FAT chain to its END-OF-CHAIN marker.
+
+        Never truncates a valid stream: the only bound is the count of
+        sectors physically present in the file, so hitting it (or an
+        out-of-range sector id) means a cyclic/corrupt FAT and raises
+        instead of silently returning a partial stream.
+        """
         out, sid, seen = [], start, 0
-        while sid not in (_ENDOFCHAIN, _FREESECT) and seen * sector_size < limit:
+        while sid not in (_ENDOFCHAIN, _FREESECT):
+            if seen >= max_sectors:
+                raise ValueError("cyclic FAT chain in compound document")
+            if 4 * sid + 4 > len(fat) or (sid + 1) * sector_size >= len(data):
+                raise ValueError(f"FAT sector id {sid} out of range")
             out.append(sector(sid))
             sid = _u32(fat, 4 * sid)
             seen += 1
@@ -112,10 +132,19 @@ def _ole_stream(data: bytes, *names: str) -> bytes:
         # stored in the mini stream (root entry's chain) via the mini FAT
         mini_container = chain(root["start"])
         minifat = chain(first_minifat)
-        out, sid = [], target["start"]
+        # Bound the walk like chain(): a valid mini chain for this stream
+        # needs at most ceil(size / mini_size) sectors; more means a
+        # cyclic/corrupt mini FAT on the untrusted-upload path.
+        max_mini = -(-target["size"] // mini_size) + 1
+        out, sid, seen = [], target["start"], 0
         while sid not in (_ENDOFCHAIN, _FREESECT):
+            if seen >= max_mini:
+                raise ValueError("cyclic mini-FAT chain in compound document")
+            if 4 * sid + 4 > len(minifat) or sid * mini_size >= len(mini_container):
+                raise ValueError(f"mini-FAT sector id {sid} out of range")
             out.append(mini_container[sid * mini_size: (sid + 1) * mini_size])
             sid = _u32(minifat, 4 * sid)
+            seen += 1
         return b"".join(out)[: target["size"]]
     return chain(target["start"])[: target["size"]]
 

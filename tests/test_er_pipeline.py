@@ -124,11 +124,26 @@ def test_connected_components_vs_networkx(spark):
             want[n] = root
 
     df = spark.createDataFrame(edges, "src string, dst string")
+    # default = driver-side union-find (under the local-finish budget)
     got = {
         r["node"]: r["component"]
         for r in connected_components(df).collect()
     }
     assert got == want
+    # forced fully-distributed star-contraction path
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_finish_threshold=0).collect()
+    }
+    assert got_dist == want
+    # mid-loop handoff: the ~290-edge distinct set starts above the
+    # threshold; round 1 contracts to ~(nodes - components) edges,
+    # dropping under it, so the loop hands off to the driver finish
+    got_mid = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_finish_threshold=200).collect()
+    }
+    assert got_mid == want
 
 
 def test_closure_resume(spark, tmp_path):
@@ -142,16 +157,22 @@ def test_closure_resume(spark, tmp_path):
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
 
+    # local_finish_threshold=0 forces the distributed loop whose rounds
+    # the checkpoint protocol snapshots
     ckpt_dir = str(tmp_path / "ckpt")
     mgr = CheckpointManager(spark, ckpt_dir)
     with pytest.raises(RuntimeError):
-        connected_components(df, max_iter=1, checkpoint=mgr)
+        connected_components(
+            df, max_iter=1, checkpoint=mgr, local_finish_threshold=0
+        )
     assert mgr.latest() is not None and mgr.latest()[0] == 1
 
     resumed_mgr = CheckpointManager(spark, ckpt_dir)
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df, checkpoint=resumed_mgr).collect()
+        for r in connected_components(
+            df, checkpoint=resumed_mgr, local_finish_threshold=0
+        ).collect()
     }
     assert got == clean
 
@@ -185,3 +206,54 @@ def test_link_end_to_end(spark, pages):
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * precision * recall / (precision + recall)
     assert f1 >= 0.95, f"cluster F1={f1:.4f} (p={precision:.4f} r={recall:.4f})"
+
+
+def test_scored_pairs_real_id_ordering(spark, pages):
+    """With dictionary ids, candidate ordering is on the hash domain;
+    block_score_pipeline must re-orient so scored output upholds
+    url_a < url_b on REAL ids (round-4 ADVICE — consumers and unions
+    with the string-id path canonicalize by real-id order)."""
+    from data_reconciliation_spark.operators.scoring import block_score_pipeline
+
+    scored = block_score_pipeline(pages)
+    assert scored.where(F.col("url_a") >= F.col("url_b")).count() == 0
+    from data_reconciliation_spark.lifecycle import release_cached
+
+    release_cached(scored)
+
+
+def test_closure_conf_isolation(spark):
+    """The distributed loop's latency-regime tuning (AQE off + small
+    shuffle partitioning) must run in a cloned session: the caller's
+    conf is never mutated, even mid-loop (round-4 ADVICE — a shared
+    long-running driver plans concurrent queries under session conf)."""
+    before = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(80)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    connected_components(df, local_finish_threshold=0).count()
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before
+    # result DataFrames are handed back bound to the caller's session,
+    # so downstream composition plans under the caller's conf
+    out = connected_components(df, local_finish_threshold=0)
+    assert out.sparkSession is spark
+
+
+def test_parse_partitions_auto_fallback(spark):
+    """'auto' (allowed on some Spark distributions; OSS Spark rejects
+    setting it, so the coercion is tested directly) must fall back to
+    defaultParallelism instead of raising (round-4 ADVICE)."""
+    from data_reconciliation_spark.operators.cluster import (
+        _coerce_partitions,
+        _parse_partitions,
+    )
+
+    assert _coerce_partitions("auto", 16) == 16
+    assert _coerce_partitions(None, 16) == 16
+    assert _coerce_partitions("32", 16) == 32
+    assert _parse_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

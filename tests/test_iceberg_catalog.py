@@ -68,8 +68,9 @@ def test_iceberg_closure_resume(iceberg_spark, tmp_path):
     full = connected_components(chain)
     want = {(r["node"], r["component"]) for r in full.collect()}
 
-    # run once WITH the manager, then resume from its last committed
-    # round — identical labels
-    connected_components(chain, checkpoint=mgr).count()
-    resumed = connected_components(chain, checkpoint=mgr)
+    # run once WITH the manager (distributed loop forced so rounds are
+    # snapshotted), then resume from its last committed round —
+    # identical labels
+    connected_components(chain, checkpoint=mgr, local_finish_threshold=0).count()
+    resumed = connected_components(chain, checkpoint=mgr, local_finish_threshold=0)
     assert {(r["node"], r["component"]) for r in resumed.collect()} == want
