@@ -175,33 +175,46 @@ def main() -> None:
     pairs_per_sec = round(n_pairs / er_scoring_sec, 1) if er_scoring_sec else 0.0
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # steady-state engine-kernel timings (warm re-run of the
-                # same queries; excludes first-invocation JIT/codegen)
-                "kernels": kernels,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "pairs_scored": n_pairs,
-                "pairs_scored_per_sec": pairs_per_sec,
-                "cpus": cpus,
-                "bench_pages": n_pages,
-                # hypervisor CPU-steal over the whole run (machine-wide
-                # fraction): this sandbox VM gets bursty noisy-neighbor
-                # steal; a run with steal_frac >> 0.01 is environment
-                # noise, not engine performance
-                "steal_frac": round(
-                    (_steal_sec() - steal_t0)
-                    / ((time.time() - wall_t0) * (os.cpu_count() or 32)),
-                    4,
-                ),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # steady-state engine-kernel timings (warm re-run of the
+        # same queries; excludes first-invocation JIT/codegen)
+        "kernels": kernels,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pairs_scored": n_pairs,
+        "pairs_scored_per_sec": pairs_per_sec,
+        "cpus": cpus,
+        "bench_pages": n_pages,
+        # hypervisor CPU-steal over the whole run (machine-wide
+        # fraction): this sandbox VM gets bursty noisy-neighbor
+        # steal; a run with steal_frac >> 0.01 is environment
+        # noise, not engine performance
+        "steal_frac": round(
+            (_steal_sec() - steal_t0)
+            / ((time.time() - wall_t0) * (os.cpu_count() or 32)),
+            4,
+        ),
+    }
+    print(json.dumps(payload))
+
+    # Persist the payload and rewrite BASELINE.md's achieved-headline
+    # block from it — bench.py is the ONLY writer of those numbers
+    # (rounds 3+4 hand-refreshed the prose and drifted within the same
+    # round; tools/check_headline_sync.py asserts the sync in CI).
+    # Only at the full graded config: a dev run at sf0.01 must not
+    # overwrite the published sf0.1 numbers.
+    here = os.path.dirname(os.path.abspath(__file__))
+    if payload["sf"] == 0.1 and os.access(here, os.W_OK):
+        from data_reconciliation_spark.benchfmt import rewrite_baseline_headline
+
+        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+        with open(os.path.join(here, "BENCH", "headline.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+        rewrite_baseline_headline(os.path.join(here, "BASELINE.md"), payload)
     spark.stop()
 
 

@@ -1,0 +1,49 @@
+"""Assert BASELINE.md's achieved-headline block equals what
+``data_reconciliation_spark.benchfmt`` renders from the committed
+``BENCH/headline.json`` — i.e. the published prose numbers cannot drift
+from the latest bench artifact (round-4 verdict #2: two consecutive
+rounds hand-refreshed the table and drifted within the round).
+
+Run standalone (``python tools/check_headline_sync.py``) or via the
+pytest wrapper in ``tests/test_baseline_sync.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def check(repo_root: str | None = None) -> str:
+    root = repo_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    from data_reconciliation_spark.benchfmt import (
+        HEADLINE_BEGIN,
+        HEADLINE_END,
+        format_headline_block,
+    )
+
+    payload_path = os.path.join(root, "BENCH", "headline.json")
+    if not os.path.exists(payload_path):
+        return "SKIP: BENCH/headline.json not written yet (run bench.py at sf0.1)"
+    with open(payload_path) as f:
+        payload = json.load(f)
+    want = format_headline_block(payload)
+
+    md = open(os.path.join(root, "BASELINE.md")).read()
+    try:
+        got = md.split(HEADLINE_BEGIN, 1)[1].split(HEADLINE_END, 1)[0]
+    except IndexError:
+        raise AssertionError("BASELINE.md headline markers missing")
+    if got != want:
+        raise AssertionError(
+            "BASELINE.md headline block drifted from BENCH/headline.json —\n"
+            "re-run `python bench.py` (sf0.1) instead of hand-editing.\n"
+            f"--- in BASELINE.md ---\n{got}\n--- from artifact ---\n{want}"
+        )
+    return "OK: BASELINE.md headline block matches BENCH/headline.json"
+
+
+if __name__ == "__main__":
+    print(check())
