@@ -401,12 +401,26 @@ def sync_headline_claims(payload: dict) -> None:
     if "e2e" in payload:
         e = payload["e2e"]
         el, eh = e["low"], e["high"]
+        import time as _t2
+
+        prov = (
+            " [CARRIED FORWARD from the run of "
+            + (
+                _t2.strftime("%Y-%m-%d", _t2.gmtime(e["measured_ts"]))
+                if e.get("measured_ts")
+                else "an earlier date"
+            )
+            + " — not re-measured alongside the scoring legs]"
+            if e.get("carried_forward")
+            else ""
+        )
         eblock = (
             f"{el['pairs_per_sec']:.0f} -> {eh['pairs_per_sec']:.0f} pairs/s "
             f"end-to-end at {el['pages']} pages (local[{el['cores']}] -> "
             f"local[{eh['cores']}]), efficiency {e['scaling_efficiency']} — "
             "lower than the scoring stage because the closure loop is "
             "latency-bound (fixed round count, cost independent of cores)"
+            + prov
         )
         s2, k = re.subn(
             r"<!--SCALING-E2E-->.*?<!--/SCALING-E2E-->",
@@ -441,9 +455,15 @@ def main() -> None:
                "samples_per_config": 5,
                "steal_gate": 0.02}
 
+    import time as _t
+
     if args.skip_e2e:
         # keep the most recent e2e measurement in the artifact (it is
-        # informational; --skip-e2e reruns only the gated scoring legs)
+        # informational; --skip-e2e reruns only the gated scoring legs).
+        # The carried row keeps its ORIGINAL measured_ts and is stamped
+        # carried_forward so every rendering shows its provenance —
+        # round-4 verdict #3: a carried leg must never read as if it
+        # were measured alongside the headline scoring number.
         try:
             with open("BENCH/scaling.json") as f:
                 prev = json.load(f)
@@ -461,6 +481,8 @@ def main() -> None:
         eff_e = round(hi_e["pairs_per_sec"] / (ratio * lo_e["pairs_per_sec"]), 3)
         payload["e2e"] = {"low": lo_e, "high": hi_e,
                           "scaling_efficiency": eff_e,
+                          "measured_ts": int(_t.time()),
+                          "carried_forward": False,
                           "timed_job": "link(): blocking + cascade scoring "
                                        "+ transitive closure + label join"}
     with open("BENCH/scaling.json", "w") as f:
@@ -534,8 +556,25 @@ steady-state number above dominates it architecturally.
     if "e2e" in payload:
         e = payload["e2e"]
         el, eh = e["low"], e["high"]
+        _prov_ts = e.get("measured_ts")
+        _prov_when = (
+            _t.strftime("%Y-%m-%d %H:%M UTC", _t.gmtime(_prov_ts))
+            if _prov_ts
+            else "unknown time (pre-provenance artifact)"
+        )
+        _prov = (
+            f"**Provenance: CARRIED FORWARD from the run measured {_prov_when}** "
+            "(this harness invocation re-ran only the gated scoring legs "
+            "with --skip-e2e); the e2e and scoring numbers on this page "
+            "come from different runs."
+            if e.get("carried_forward")
+            else f"Provenance: measured in THIS harness run ({_prov_when}), "
+            "alongside the scoring legs above."
+        )
         md += f"""
 ## Full-pipeline scaling (informational — the gated metric above is the scoring stage per BASELINE.json)
+
+{_prov}
 
 Timed job: `link()` end-to-end per pass — blocking (shingle/band
 shuffle) + cascade scoring + transitive closure + final label join —
