@@ -72,39 +72,38 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by token n-gram Jaccard within blocks.
 
-    ``block_col`` defaults to a cheap length-bucket key (near-dups have
-    near-equal token counts); at corpus scale use minhash_lsh_pairs —
-    this operator is the verify kernel / small-block path.  The default
-    length bucket degenerates to near-global blocks on homogeneous
-    corpora, so ``max_block_size`` (same O(n²) guard as the siblings)
-    star-pairs oversized blocks to their min-id member: identical-doc
-    clusters keep jaccard-1.0 star pairs (connectivity preserved);
-    unrelated same-bucket members fail the threshold on the star pair
-    exactly as they would pairwise.  Pass ``max_block_size=None`` for
-    exact all-pairs semantics (e.g. oracle checks).
+    ``block_col`` is REQUIRED (the implicit length-bucket default was
+    deprecated in round 3 and removed in round 5 — it degenerated to
+    near-global blocks on homogeneous corpora); at corpus scale use
+    minhash_lsh_pairs — this operator is the verify kernel /
+    small-block path.  ``max_block_size`` (same O(n²) guard as the
+    siblings) star-pairs oversized blocks to their min-id member:
+    identical-doc clusters keep jaccard-1.0 star pairs (connectivity
+    preserved); unrelated same-bucket members fail the threshold on the
+    star pair exactly as they would pairwise.  Pass
+    ``max_block_size=None`` for exact all-pairs semantics (e.g. oracle
+    checks).
 
     The caller releases the internal block cache with
     ``lifecycle.release_cached(result)`` after materializing.
     """
     toks = F.split(normalized_text(F.col(text_col)), " ")
     if block_col is None:
-        # The implicit length bucket is DEPRECATED: it degenerates to
-        # near-global blocks on homogeneous corpora (uniform-length web
-        # text all lands in 2-3 buckets), leaving recall to the capped
-        # star-pairing guard.  Callers should pass an explicit
-        # ``block_col`` (host, shingle key, ...) or use
-        # ``minhash_lsh_pairs`` — the scale path — for corpus-level
-        # near-dup detection.
-        import warnings
-
-        warnings.warn(
-            "ngram_jaccard_pairs: implicit length-bucket blocking is "
-            "deprecated — pass block_col explicitly, or use "
-            "minhash_lsh_pairs for corpus-scale near-dup detection",
-            DeprecationWarning,
-            stacklevel=2,
+        # The implicit length bucket completed its deprecation cycle
+        # (round-3 #6 warning -> round-5 error, per the deprecation
+        # note's own wording): it degenerates to near-global blocks on
+        # homogeneous corpora (uniform-length web text all lands in 2-3
+        # buckets), leaving recall to the capped star-pairing guard.
+        raise ValueError(
+            "ngram_jaccard_pairs: block_col is required — the implicit "
+            "length-bucket default degenerated on homogeneous corpora "
+            "and was removed after a deprecation round.  Pass an "
+            "explicit block_col (host, shingle key, F.lit(1) for "
+            "single-block small inputs, or "
+            "F.floor(F.log2(F.size(F.split(text, ' ')) + 1)) to keep "
+            "the old length-bucket behavior), or use minhash_lsh_pairs "
+            "— the scale path — for corpus-level near-dup detection."
         )
-        block_col = F.floor(F.log2(F.size(toks) + 1))  # length bucket
     # delegate to token_shingles: it binds the token array as a lambda
     # variable so the split/regex is not re-evaluated per gram
     grams = token_shingles(F.col(text_col), n)

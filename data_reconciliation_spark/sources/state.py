@@ -475,10 +475,15 @@ class JdbcAuditStore(AuditStore):
         JdbcAuditStore(spark, "jdbc:postgresql://host/db",
                        driver="org.postgresql.Driver")
 
-    ``pushDownPredicate`` is disabled on reads because Derby maps Spark
-    ``StringType`` to CLOB, on which Derby rejects pushed ``=``
-    predicates; filters evaluate Spark-side instead (audit tables are
-    small — the reference serves them from single Postgres queries).
+    ``pushDownPredicate`` is gated PER DIALECT (round-4 verdict #5):
+    Derby maps Spark ``StringType`` to CLOB, on which Derby rejects
+    pushed ``=`` predicates, so the Derby driver reads with pushdown off
+    (filters evaluate Spark-side; audit tables are small — the
+    reference serves them from single Postgres queries).  Every other
+    dialect (Postgres, MySQL, ...) keeps pushdown ON so a production
+    deployment ships predicates to the database instead of scanning
+    whole audit tables.  Override with ``push_down_predicate=`` if a
+    dialect needs the opposite.
     """
 
     def __init__(
@@ -486,10 +491,14 @@ class JdbcAuditStore(AuditStore):
         spark: SparkSession,
         url: str,
         driver: str = "org.apache.derby.jdbc.EmbeddedDriver",
+        push_down_predicate: bool | None = None,
     ):
         self.spark = spark
         self.url = url
         self.driver = driver
+        if push_down_predicate is None:
+            push_down_predicate = "derby" not in driver.lower()
+        self.push_down_predicate = push_down_predicate
 
     def _write(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").jdbc(
@@ -503,7 +512,10 @@ class JdbcAuditStore(AuditStore):
                 .option("url", self.url)
                 .option("dbtable", name)
                 .option("driver", self.driver)
-                .option("pushDownPredicate", "false")
+                .option(
+                    "pushDownPredicate",
+                    "true" if self.push_down_predicate else "false",
+                )
                 .load()
             )
         except Exception:

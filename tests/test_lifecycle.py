@@ -73,8 +73,9 @@ def test_ngram_release_and_deprecated_default_block(spark, clean_cache, docs):
     release_cached(pairs)
     assert _cache_empty(spark)
 
-    # implicit length-bucket blocking is deprecated (round-3 verdict #6)
-    with pytest.warns(DeprecationWarning, match="block_col"):
+    # implicit length-bucket blocking: deprecated round 3, hard error
+    # round 5 (round-4 verdict #8) with a migration message
+    with pytest.raises(ValueError, match="block_col is required"):
         ngram_jaccard_pairs(docs, threshold=0.5)
 
 

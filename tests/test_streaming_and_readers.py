@@ -534,6 +534,23 @@ def test_sessionize_state_cap_evicts_and_conserves(spark, tmp_path):
     assert got == want
     # per-event conservation
     assert sum(r["n_events"] for r in out) == n_sessions
+    # eviction metric (round-4 verdict #6): the observed per-batch
+    # metrics must account for every eviction without scanning output —
+    # sum across micro-batch progress events equals the flagged rows
+    # (including the flush user's sessions, which the row-scan above
+    # excluded, so compare against the unfiltered output)
+    all_rows = spark.sql("select * from sess_cap_out").collect()
+    observed = [
+        p["observedMetrics"]["sessionizer"]
+        for p in q.recentProgress
+        if p["observedMetrics"].get("sessionizer")
+    ]
+    assert observed, "no sessionizer observedMetrics in streaming progress"
+    metric_evicted = sum(m["evicted_sessions"] or 0 for m in observed)
+    metric_closed = sum(m["closed_sessions"] or 0 for m in observed)
+    assert metric_evicted == sum(1 for r in all_rows if r["evicted"])
+    assert metric_closed == len(all_rows)
+    assert metric_evicted >= n_sessions - cap - 1
 
 
 def test_sessionize_state_cap_split_conserves_events(spark, tmp_path):
