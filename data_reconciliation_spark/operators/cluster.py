@@ -179,6 +179,7 @@ def connected_components(
     max_iter: int = 30,
     checkpoint: CheckpointManager | None = None,
     local_finish_threshold: int = 2_000_000,
+    on_round=None,
 ) -> DataFrame:
     """Return ``(node, component)`` where component = min node id of the
     connected component.  Nodes appearing in no edge are absent (caller
@@ -191,6 +192,11 @@ def connected_components(
     ``local_finish_threshold`` bounds the driver-side finish (edges; 0
     disables it).  Distributed rounds run while the edge set exceeds
     it; see the module docstring for why large graphs never hit it.
+
+    ``on_round`` (optional): callback ``(iteration, n_edges, seconds)``
+    invoked after each distributed round — used by
+    ``tools/profile_closure_scaling.py`` to measure the per-round
+    latency-vs-data-bound regime crossover.
     """
     caller = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
@@ -210,13 +216,19 @@ def connected_components(
         # count, not data volume (round-2 bench regression item)
         from pyspark.sql import Observation
 
+        # XOR-fold, not sum: a masked-sum fingerprint overflows Long
+        # under ANSI arithmetic past ~130k edges, and the overflow
+        # throws inside the observe() accumulator merge on the
+        # scheduler event loop — which does NOT fail the job but
+        # corrupts the observation, so fingerprints never match and the
+        # loop runs to max_iter (caught measuring the 1M-edge chain,
+        # round 5).  XOR is overflow-free, commutative, and exact-set
+        # safe here because every round's edge set is distinct.
         obs = Observation()
         out = df.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64("src", "dst").bitwiseAND(F.lit((1 << 47) - 1))
-            ).alias("h"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
         ).localCheckpoint()
         got = obs.get
         return out, (got["n"], got["h"])
@@ -268,12 +280,17 @@ def connected_components(
             iso.conf.set("spark.sql.adaptive.enabled", sess_aqe)
             iso.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
 
+    import time as _time
+
     converged = False
     for it in range(start_iter, max_iter):
         _tune(fp_prev[0])
+        _round_t0 = _time.time()
         new_e, fp_new = _checkpoint_with_fingerprint(
             _small_star(_large_star(e, dedup=False))
         )
+        if on_round is not None:
+            on_round(it, fp_new[0], _time.time() - _round_t0)
         # convergence: cheap fingerprint gate, then an exact one-sided
         # exceptAll to CONFIRM equality (both sets are distinct, so
         # equal count + empty difference proves set equality).  The
