@@ -2,10 +2,13 @@
 
 Media payloads are opaque ``binary`` columns + typed metadata structs;
 decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages.
-The decode kernels themselves are STUBS in this environment (no
-image/audio libraries in the container) — clearly marked below — but the
-Spark-side contract is real and tested: schema, batch shape, partition
-behavior, and the deterministic fake featurizer all run end-to-end.
+Image decode is REAL for uncompressed 24-bit BMP (pure numpy) and 8-bit
+non-interlaced PNG (stdlib zlib; all five scanline filters) — both
+openly specified formats.  Codec-requiring formats (JPEG, audio, video
+containers) are STUBS in this environment — clearly marked below — but
+the Spark-side contract is real and tested: schema, batch shape,
+partition behavior, and the deterministic fake featurizer all run
+end-to-end.
 
 Design for 100 TB of media: ``mapInPandas`` (not pandas_udf) so one
 batch can emit multiple rows (frame sampling) or drop rows (decode
@@ -47,19 +50,146 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an (h, w, 3) uint8 RGB array.
 
-    REAL for uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) — pure
-    numpy, no external codec.  Compressed formats (PNG/JPEG/...) need a
-    codec this container does not ship and raise NotImplementedError;
-    the Spark plumbing treats those rows as pass-through.
+    REAL for uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) and —
+    since round 5 — 8-bit non-interlaced PNG (gray / RGB / palette /
+    gray+alpha / RGBA, all five scanline filters; stdlib zlib, openly
+    specified in W3C PNG / RFC 2083).  JPEG and other DCT/entropy
+    formats still need a codec this container does not ship and raise
+    NotImplementedError; the Spark plumbing treats those rows as
+    pass-through.
     """
+    if payload is not None and len(payload) >= 8 and payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     if payload is None or len(payload) < 2 or payload[:2] != b"BM":
         raise NotImplementedError(
-            "only uncompressed 24-bit BMP decodes without an external codec"
+            "only uncompressed 24-bit BMP and 8-bit non-interlaced PNG "
+            "decode without an external codec"
         )
     return _decode_bmp24(payload)
+
+
+def _decode_png(payload: bytes) -> "np.ndarray":
+    """8-bit non-interlaced PNG -> (h, w, 3) uint8 RGB.
+
+    Alpha is dropped (not composited) — feature extraction wants the
+    color planes.  Per-scanline unfiltering: none/up vectorized; sub via
+    per-channel cumsum mod 256; average/Paeth as per-pixel loops (exact;
+    fine at feature-extraction tile sizes, and batch decode parallelism
+    comes from mapInPandas partitions, not one image).
+    """
+    import struct
+    import zlib
+
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        body = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln  # len + type + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit depth, non-interlaced PNG is supported "
+            f"(depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1): (y + 1) * (stride + 1)]
+        ft, line = row[0], np.frombuffer(row, dtype=np.uint8, offset=1)
+        if ft == 0:  # None
+            cur = line.copy()
+        elif ft == 1:  # Sub — per-channel cumulative sum mod 256
+            cur = line.copy()
+            for c in range(channels):
+                cur[c::channels] = np.cumsum(
+                    line[c::channels], dtype=np.uint64
+                ) & 0xFF
+        elif ft == 2:  # Up
+            cur = line + prev
+        elif ft == 3:  # Average
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                cur[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if color == 2:  # RGB
+        return px.copy()
+    if color == 6:  # RGBA -> drop alpha
+        return px[:, :, :3].copy()
+    if color == 0:  # gray
+        return np.repeat(px, 3, axis=2)
+    if color == 4:  # gray+alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # palette
+    if plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    return plte[px[:, :, 0]]
+
+
+def encode_png(rgb: "np.ndarray") -> bytes:
+    """Minimal PNG encoder (8-bit RGB, filter 0, one IDAT) — the
+    inverse of :func:`_decode_png` for roundtrip tests and sinks."""
+    import struct
+    import zlib
+
+    h, w = rgb.shape[:2]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scanlines = b"".join(
+        b"\x00" + rgb[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _decode_bmp24(payload: bytes) -> "np.ndarray":
@@ -200,9 +330,10 @@ def resize_images(
     """Image resize: one output row per image row with the target
     dimensions.
 
-    REAL resample for uncompressed 24-bit BMP payloads (pure-numpy
-    decode -> nearest-neighbor resample -> BMP re-encode; ``decoded``
-    is true).  Payloads in formats needing an external codec pass
+    REAL resample for uncompressed 24-bit BMP and 8-bit non-interlaced
+    PNG payloads (pure-numpy/stdlib decode -> nearest-neighbor resample
+    -> BMP re-encode; ``decoded`` is true).  Payloads in formats
+    needing an external codec pass
     through unchanged with ``decoded`` false — the honest boundary in
     this container.  Either way a deterministic checksum is emitted so
     downstream stages are fully exercisable.

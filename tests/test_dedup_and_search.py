@@ -515,6 +515,105 @@ def test_bmp_decode_resize_roundtrip(spark):
     assert got.shape == (3, 4, 3) and (got == want).all()
 
 
+def test_png_decode_roundtrip_and_filters(spark):
+    """Stdlib PNG path (round-4 verdict #9): encode->decode roundtrip,
+    all five scanline filters via a reference filter-applying encoder,
+    gray/palette/RGBA color types, and the mapInPandas resize stage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_reconciliation_spark.operators.multimodal import (
+        _decode_png,
+        decode_image,
+        encode_png,
+        resample_nearest,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    payload = encode_png(img)
+    assert (decode_image(payload) == img).all()  # lossless roundtrip
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def encode_with_filters(px, color_type, channels, filters, plte=None):
+        """Reference encoder applying a given filter type per scanline
+        (the forward transform of the spec; decode must invert it)."""
+        h, w = px.shape[:2]
+        flat = px.reshape(h, w * channels).astype(np.int64)
+        out = []
+        prev = np.zeros(w * channels, dtype=np.int64)
+        for y in range(h):
+            cur, ft = flat[y], filters[y % len(filters)]
+            a = np.concatenate([np.zeros(channels, np.int64), cur[:-channels]])
+            b = prev
+            c = np.concatenate([np.zeros(channels, np.int64), prev[:-channels]])
+            if ft == 0:
+                enc = cur
+            elif ft == 1:
+                enc = cur - a
+            elif ft == 2:
+                enc = cur - b
+            elif ft == 3:
+                enc = cur - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                enc = cur - pred
+            out.append(bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes())
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        chunks = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            chunks += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        return chunks + chunk(
+            b"IDAT", zlib.compress(b"".join(out))
+        ) + chunk(b"IEND", b"")
+
+    # every filter type must invert exactly (cycled per scanline)
+    data = encode_with_filters(img, 2, 3, filters=[0, 1, 2, 3, 4])
+    assert (_decode_png(data) == img).all()
+
+    # grayscale -> replicated channels
+    gray = rng.randint(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    got = _decode_png(encode_with_filters(gray, 0, 1, filters=[4, 3, 2, 1]))
+    assert (got == np.repeat(gray, 3, axis=2)).all()
+
+    # RGBA -> alpha dropped
+    rgba = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    got = _decode_png(encode_with_filters(rgba, 6, 4, filters=[1, 4]))
+    assert (got == rgba[:, :, :3]).all()
+
+    # palette
+    plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(5, 4, 1), dtype=np.uint8)
+    got = _decode_png(encode_with_filters(idx, 3, 1, filters=[0, 2], plte=plte))
+    assert (got == plte[idx[:, :, 0]]).all()
+
+    # the Spark resize stage accepts PNG payloads too (decoded flag set)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(payload), "image/png", 5, 7, None)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = resize_images(media, 3, 4).collect()
+    assert len(out) == 1 and out[0]["decoded"]
+    from data_reconciliation_spark.operators.multimodal import _decode_bmp24
+
+    got = _decode_bmp24(bytes(out[0]["payload"]))
+    assert (got == resample_nearest(img, 3, 4)).all()
+
+
 def test_incremental_exact_dedup(docs):
     from data_reconciliation_spark.operators.dedup import incremental_exact_dedup
 
