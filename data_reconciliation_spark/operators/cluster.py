@@ -203,6 +203,17 @@ def connected_components(
         F.col("src") != F.col("dst")
     ).distinct()
 
+    # The driver budget is sized for 8-byte ids (~32 MB at the default
+    # 2M edges).  String ids (raw urls, ~100 B) are an order of
+    # magnitude heavier per edge, so scale the threshold down rather
+    # than let a "small" edge set collect 400 MB of strings.
+    from pyspark.sql.types import NumericType
+
+    if local_finish_threshold and not isinstance(
+        e.schema["src"].dataType, NumericType
+    ):
+        local_finish_threshold //= 8
+
     start_iter = 0
     if checkpoint is not None:
         resumed = checkpoint.latest()
