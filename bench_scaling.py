@@ -159,32 +159,64 @@ def _disk_read_mb():
 # passes spread up to ±60% on this VM, so a wider sample set stabilizes
 # the median against single slow-but-steal-clean outliers)
 TARGET_SAMPLES = 5
-samples = []
-all_passes = []
-n_matches = 0
-attempt = 0
-while len(samples) < TARGET_SAMPLES and attempt < 16:
+
+_n_matches_last = 0
+def _one_pass(warm):
     # benchmark heap hygiene: drain garbage from the setup phase / the
     # previous pass OUTSIDE the timed window, so each pass starts from
     # a clean heap and gc_ms measures the pass's own allocation cost
+    global _n_matches_last
     spark.sparkContext._jvm.System.gc()
     time.sleep(0.5)
     st0 = _steal_sec(); dr0 = _disk_read_mb(); g0 = _gc_ms(); t0 = time.time()
-    n_matches = score_pairs(pairs).where("is_match").count()
+    _n_matches_last = score_pairs(pairs).where("is_match").count()
     elapsed = time.time() - t0
     steal_frac = (_steal_sec() - st0) / (elapsed * MACHINE_CORES)  # machine-wide
     disk_mb = round(_disk_read_mb() - dr0, 1)
-    warm = attempt < 2
     clean = (not warm) and steal_frac < 0.02
-    all_passes.append({"sec": round(elapsed, 2),
-                       "pairs_per_sec": round(n_pairs / elapsed, 1),
-                       "steal_frac": round(steal_frac, 4),
-                       "gc_ms": _gc_ms() - g0,
-                       "disk_read_mb": disk_mb,
-                       "warmup": warm, "kept": clean})
-    if clean:
-        samples.append(elapsed)
+    return {"sec": round(elapsed, 2),
+            "pairs_per_sec": round(n_pairs / elapsed, 1),
+            "steal_frac": round(steal_frac, 4),
+            "gc_ms": _gc_ms() - g0,
+            "disk_read_mb": disk_mb,
+            "warmup": warm, "kept": clean}
+
+if os.environ.get("RECON_SCALING_SERVE") == "1":
+    # INTERLEAVED mode (round 5): the parent alternates PASS commands
+    # between the low- and high-parallelism children so both legs
+    # sample the same machine epochs — sequential legs measured one leg
+    # in quiet weather and the other in a steal storm / different
+    # turbo state, which skews a ratio metric (observed: the low leg
+    # 34% faster in a quiet epoch than in round 4's run, turning a
+    # genuinely-unchanged engine into a 0.74 "efficiency").
+    print("READY " + json.dumps({"cores": cores, "pages": n_pages,
+                                 "pairs": n_pairs}), flush=True)
+    attempt = 0
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "PASS":
+            p = _one_pass(warm=attempt < 2)
+            attempt += 1
+            print("PASSRESULT " + json.dumps(p), flush=True)
+        elif cmd == "DONE":
+            break
+    print("RESULT " + json.dumps({"cores": cores, "pages": n_pages,
+                                  "pairs": n_pairs,
+                                  "matches": _n_matches_last}), flush=True)
+    shutil.rmtree(os.path.dirname(pairs_path), ignore_errors=True)
+    spark.stop()
+    sys.exit(0)
+
+samples = []
+all_passes = []
+attempt = 0
+while len(samples) < TARGET_SAMPLES and attempt < 16:
+    p = _one_pass(warm=attempt < 2)
+    all_passes.append(p)
+    if p["kept"]:
+        samples.append(p["sec"])
     attempt += 1
+n_matches = _n_matches_last
 steal_polluted = False
 if not samples:
     # steal never let up in 12 attempts: report the MEDIAN of all
@@ -340,6 +372,127 @@ def run_config(cores: int, pages: int, mem: str, code: str = _CHILD_CODE) -> dic
     raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
 
 
+def run_interleaved(low: int, high: int, pages: int, mem: str) -> tuple[dict, dict, list]:
+    """Run the two scoring legs as long-lived children and ALTERNATE
+    single passes between them (round 5).
+
+    Why: the legs measure a RATIO, but sequential legs sample different
+    machine epochs on this noisy VM — the round-4 0.938 and a round-5
+    0.74 came from identical engine code, the difference being which
+    leg ran during quiet weather / favorable turbo.  Interleaving makes
+    every attempt index an (low, high) pair taken seconds apart, so
+    epoch drift hits both legs symmetrically; the headline efficiency
+    is the median of per-epoch pair ratios over pairs where BOTH passes
+    are steal-clean.
+
+    The idle child JVM (pre-touched heap, no running job) adds
+    negligible load while the other leg's pass runs; both setups
+    (untimed) proceed concurrently.
+    """
+    import time as _t
+
+    TARGET = 5
+    WARMUPS = 2
+    MAX_ATTEMPTS = 16
+
+    def _spawn(cores: int) -> subprocess.Popen:
+        env = dict(os.environ)
+        env.setdefault("SPARK_DRIVER_MEMORY", mem)
+        env["RECON_SCALING_SERVE"] = "1"
+        return subprocess.Popen(
+            ["taskset", "-c", f"0-{cores - 1}",
+             sys.executable, "-c", _CHILD_CODE, str(cores), str(pages)],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+
+    def _read_tag(proc: subprocess.Popen, tag: str) -> dict:
+        for line in proc.stdout:
+            if line.startswith(tag + " "):
+                return json.loads(line[len(tag) + 1:])
+        raise RuntimeError(f"child exited before {tag}")
+
+    lo_p, hi_p = _spawn(low), _spawn(high)
+    try:
+        lo_hdr = _read_tag(lo_p, "READY")
+        hi_hdr = _read_tag(hi_p, "READY")
+        assert lo_hdr["pairs"] == hi_hdr["pairs"], "non-deterministic input!"
+
+        passes = {"low": [], "high": []}
+        clean = {"low": [], "high": []}
+        attempt = 0
+        while attempt < MAX_ATTEMPTS and (
+            len(clean["low"]) < TARGET or len(clean["high"]) < TARGET
+        ):
+            for name, proc in (("low", lo_p), ("high", hi_p)):
+                proc.stdin.write("PASS\n")
+                proc.stdin.flush()
+                p = _read_tag(proc, "PASSRESULT")
+                passes[name].append(p)
+                if p["kept"]:
+                    clean[name].append(p["sec"])
+            attempt += 1
+            print(
+                f"[interleave] epoch {attempt}: "
+                f"low {passes['low'][-1]['sec']}s "
+                f"(steal {passes['low'][-1]['steal_frac']}) | "
+                f"high {passes['high'][-1]['sec']}s "
+                f"(steal {passes['high'][-1]['steal_frac']})",
+                file=sys.stderr,
+            )
+        for proc in (lo_p, hi_p):
+            proc.stdin.write("DONE\n")
+            proc.stdin.flush()
+        lo_tail = _read_tag(lo_p, "RESULT")
+        hi_tail = _read_tag(hi_p, "RESULT")
+        lo_p.wait(timeout=120)
+        hi_p.wait(timeout=120)
+    finally:
+        for proc in (lo_p, hi_p):
+            if proc.poll() is None:
+                proc.kill()
+
+    # per-epoch pair ratios over epochs where BOTH legs are clean
+    ratio = high / low
+    pair_effs = []
+    for pl, ph in zip(passes["low"], passes["high"]):
+        if pl["kept"] and ph["kept"]:
+            pair_effs.append(round(pl["sec"] / (ratio * ph["sec"]), 3))
+
+    def _leg(name: str, hdr: dict, tail: dict, cores: int) -> dict:
+        cl = sorted(clean[name])
+        polluted = not cl
+        if polluted:
+            post = sorted(
+                p["sec"] for p in passes[name] if not p["warmup"]
+            )
+            med = post[len(post) // 2] if post else float("nan")
+        else:
+            med = cl[len(cl) // 2]
+        return {
+            "cores": cores,
+            "pages": hdr["pages"],
+            "pairs": hdr["pairs"],
+            "matches": tail.get("matches", 0),
+            "seconds": round(med, 2),
+            "pairs_per_sec": round(hdr["pairs"] / med, 1),
+            "clean_samples": 0 if polluted else len(cl),
+            "degraded": polluted or len(cl) < TARGET,
+            "steal_polluted": polluted,
+            "passes": passes[name],
+        }
+
+    return (
+        _leg("low", lo_hdr, lo_tail, low),
+        _leg("high", hi_hdr, hi_tail, high),
+        pair_effs,
+    )
+
+
 def sync_headline_claims(payload: dict) -> None:
     """Rewrite the scaling-efficiency claims in root BASELINE.md and
     docs/SCALE.md from the measurement just taken — the ONLY writer of
@@ -365,9 +518,15 @@ def sync_headline_claims(payload: dict) -> None:
         status += " (STEAL-POLLUTED RUN — rerun when the VM quiets)"
     here = os.path.dirname(os.path.abspath(__file__))
 
+    method = (
+        f"median of {len(payload.get('pair_efficiencies', []))} "
+        "interleaved per-epoch pair ratios"
+        if payload.get("interleaved") and payload.get("pair_efficiencies")
+        else f"median of {n}"
+    )
     row = (
         f"| Scaling efficiency N -> 4N | >= 0.8 | **{eff}** {status} "
-        f"(median of {n}: {lo['pairs_per_sec'] / 1000:.1f}k -> "
+        f"({method}; {lo['pairs_per_sec'] / 1000:.1f}k -> "
         f"{hi['pairs_per_sec'] / 1000:.1f}k pairs/sec, "
         f"local[{lo['cores']}] -> local[{hi['cores']}]) | "
         "`BENCH/BASELINE.md`, `BENCH/scaling.json` "
@@ -384,7 +543,7 @@ def sync_headline_claims(payload: dict) -> None:
 
     block = (
         f"{lo['pairs_per_sec']:.0f} -> {hi['pairs_per_sec']:.0f} pairs/s "
-        f"(local[{lo['cores']}] -> local[{hi['cores']}],\n  median of {n} "
+        f"(local[{lo['cores']}] -> local[{hi['cores']}],\n  {method} of "
         f"steady-state passes, CPU-pinned), scaling efficiency\n  "
         f"{eff} ({status} vs >= 0.8 target)"
     )
@@ -442,16 +601,39 @@ def main() -> None:
     ap.add_argument("--mem", default="48g")
     ap.add_argument("--skip-e2e", action="store_true",
                     help="measure only the scoring stage (the gated metric)")
+    ap.add_argument("--sequential", action="store_true",
+                    help="legacy one-leg-after-the-other scheduling "
+                         "(default interleaves passes across both legs "
+                         "so machine-epoch drift cancels in the ratio)")
     args = ap.parse_args()
 
-    lo = run_config(args.low, args.pages, args.mem)
-    hi = run_config(args.high, args.pages, args.mem)
     ratio = args.high / args.low
-    eff = round(hi["pairs_per_sec"] / (ratio * lo["pairs_per_sec"]), 3)
+    pair_effs: list = []
+    if args.sequential:
+        lo = run_config(args.low, args.pages, args.mem)
+        hi = run_config(args.high, args.pages, args.mem)
+    else:
+        lo, hi, pair_effs = run_interleaved(
+            args.low, args.high, args.pages, args.mem
+        )
+    leg_eff = round(hi["pairs_per_sec"] / (ratio * lo["pairs_per_sec"]), 3)
+    if len(pair_effs) >= 3:
+        # headline = median of per-epoch pair ratios: each ratio takes
+        # its two passes seconds apart, so machine-epoch drift (turbo
+        # state, background tenants) cancels instead of landing on one
+        # leg.  The leg-median efficiency is retained for comparability
+        # with the sequential history.
+        s = sorted(pair_effs)
+        eff = s[len(s) // 2]
+    else:
+        eff = leg_eff
 
     os.makedirs("BENCH", exist_ok=True)
     payload = {"low": lo, "high": hi, "parallelism_ratio": ratio,
                "scaling_efficiency": eff,
+               "leg_median_efficiency": leg_eff,
+               "pair_efficiencies": pair_effs,
+               "interleaved": not args.sequential,
                "samples_per_config": 5,
                "steal_gate": 0.02}
 
@@ -496,6 +678,9 @@ def main() -> None:
         f.write(json.dumps({
             "ts": int(_time.time()),
             "scoring_efficiency": eff,
+            "leg_median_efficiency": leg_eff,
+            "interleaved": not args.sequential,
+            "n_pair_samples": len(pair_effs),
             "low_pps": lo["pairs_per_sec"],
             "high_pps": hi["pairs_per_sec"],
             "low_clean": lo["clean_samples"],
@@ -529,11 +714,19 @@ parallelism), {args.pages} pages, 16 variants per entity, ~2 entities
 per host (so same-host cross-entity HARD NEGATIVES flow through the
 prefilter alongside the dense true pairs — realistic corpus shape),
 ~20% of entities on one over-cap hot host exercising the star-pairing
-skew guard.  Steady-state (2nd pass) timing in a fresh JVM
-per configuration; shuffle partitioning held constant (128) so the only
-variable is cores.  Each configuration reports the MEDIAN of 3
-steady-state passes after an untimed warmup pass (per-pass pairs/sec
-listed below the table).
+skew guard.  Steady-state timing in a fresh JVM per configuration;
+shuffle partitioning held constant (128) so the only variable is cores.
+Scheduling: {"passes INTERLEAVED across both legs (one low pass, one "
+"high pass, seconds apart per epoch) so machine-epoch drift — turbo "
+"state, background tenants — cancels in the ratio instead of landing "
+"on one leg; the headline efficiency is the median of per-epoch pair "
+"ratios over epochs where BOTH passes are steal-clean (leg-median "
+"efficiency retained in scaling.json for sequential-history "
+"comparability)" if payload.get("interleaved") else
+"one leg after the other (legacy --sequential mode)"}.  Each
+configuration reports the MEDIAN of its steal-clean steady-state
+passes after two untimed warmup passes (per-pass evidence below the
+table).
 
 | config | pages | candidate pairs scored | match verdicts | seconds | pairs/sec |
 |---|---|---|---|---|---|
@@ -546,7 +739,10 @@ hypervisor CPU steal (bursty noisy neighbors on this sandbox VM;
 steal_frac >= 0.02) are excluded from the median — the exclusions and
 their steal measurements are listed above for audit.
 
-**Scaling efficiency** = r_4N / (4 x r_N) = **{eff}** (target >= 0.8).
+**Scaling efficiency** = **{eff}** (target >= 0.8; {"median of per-epoch "
+f"pair ratios {payload.get('pair_efficiencies')}" if
+payload.get("interleaved") and payload.get("pair_efficiencies") else
+"r_4N / (4 x r_N) from leg medians"}).
 
 Reference baseline: the reference publishes no throughput numbers
 (single-threaded per-row pandas loops, see BASELINE.md); its core is
