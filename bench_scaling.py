@@ -412,9 +412,16 @@ def run_config(cores: int, pages: int, mem: str, code: str = _CHILD_CODE) -> dic
         capture_output=True,
         text=True,
         env=env,
-        check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
+    if out.returncode != 0:
+        # surface the child's actual error — a bare CalledProcessError
+        # dumps the command and swallows stderr, which cost a full run's
+        # diagnosis once
+        raise RuntimeError(
+            f"child (cores={cores}) exited {out.returncode}; "
+            f"stderr tail:\n{out.stderr[-4000:]}"
+        )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -720,15 +727,27 @@ def main() -> None:
         # + closure + label join end-to-end.  NOT the gated metric —
         # BASELINE.json defines the target over the scoring stage — but
         # evidence of how the latency-bound closure dilutes scaling.
-        lo_e = run_config(args.low, args.e2e_pages, args.mem, code=_E2E_CHILD_CODE)
-        hi_e = run_config(args.high, args.e2e_pages, args.mem, code=_E2E_CHILD_CODE)
-        eff_e = round(hi_e["pairs_per_sec"] / (ratio * lo_e["pairs_per_sec"]), 3)
-        payload["e2e"] = {"low": lo_e, "high": hi_e,
-                          "scaling_efficiency": eff_e,
-                          "measured_ts": int(_t.time()),
-                          "carried_forward": False,
-                          "timed_job": "link(): blocking + cascade scoring "
-                                       "+ transitive closure + label join"}
+        # A crash here must not discard the scoring legs above (a
+        # 50-minute measurement was lost to exactly that once): record
+        # the failure in the payload and carry on to the artifact write.
+        try:
+            lo_e = run_config(args.low, args.e2e_pages, args.mem,
+                              code=_E2E_CHILD_CODE)
+            hi_e = run_config(args.high, args.e2e_pages, args.mem,
+                              code=_E2E_CHILD_CODE)
+            eff_e = round(
+                hi_e["pairs_per_sec"] / (ratio * lo_e["pairs_per_sec"]), 3
+            )
+            payload["e2e"] = {"low": lo_e, "high": hi_e,
+                              "scaling_efficiency": eff_e,
+                              "measured_ts": int(_t.time()),
+                              "carried_forward": False,
+                              "timed_job": "link(): blocking + cascade scoring "
+                                           "+ transitive closure + label join"}
+        except RuntimeError as exc:
+            print(f"[e2e] legs failed, keeping scoring result: {exc}",
+                  file=sys.stderr)
+            payload["e2e_error"] = str(exc)[:2000]
     with open("BENCH/scaling.json", "w") as f:
         json.dump(payload, f, indent=2)
     # append-only run history: every harness invocation leaves a summary

@@ -82,14 +82,20 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
     hashed distinct-token set, SimHash.  One map pass; SimHash (the only
     per-page Python) runs once per page.
 
-    ``tok_hashes`` (8-byte xxhash64 per distinct token) is precomputed
-    HERE because the pair-level Jaccard otherwise re-runs regex split +
-    array_distinct on BOTH texts for every candidate pair — O(pairs)
-    rework of an O(pages) job — and because cached/shuffled long arrays
-    deserialize as one primitive array, not 40 string objects, per side
-    per pair.  Hash collisions perturb a Jaccard by <= 1/|union| with
-    probability ~2^-64 per token pair — far below the decision
-    thresholds.
+    ``tok_hashes`` (4-byte int hash per distinct token, the low word of
+    xxhash64) is precomputed HERE because the pair-level Jaccard
+    otherwise re-runs regex split + array_distinct on BOTH texts for
+    every candidate pair — O(pairs) rework of an O(pages) job — and
+    because cached/shuffled primitive arrays deserialize as one block,
+    not 40 string objects, per side per pair.  4 bytes, not 8: the
+    token arrays are the dominant payload of the scored-pair dataflow
+    (~2x40 hashes per pair vs ~150 B of strings), so halving them
+    halves the scan/shuffle/cache bandwidth of the scoring stage — the
+    binding resource at high core counts.  Collisions: two distinct
+    tokens of one pair colliding shift its Jaccard by <= 1/|union| with
+    probability ~|A|x|B|/2^32 (~4e-7 at 40-token texts) — far below
+    every decision threshold.  ``array_distinct`` runs on the CAST
+    values so the result stays a true set under truncation.
 
     ``title`` comes from an explicit column when present, else from
     ``html`` (reference-identical extraction), else NULL (the verdict
@@ -108,7 +114,15 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
         title.alias("title"),
         norm.alias("norm_text"),
         F.array_distinct(
-            F.transform(F.split(norm, " "), lambda t: F.xxhash64(t))
+            F.transform(
+                F.split(norm, " "),
+                # low 32 bits of xxhash64, re-centered into int range —
+                # a plain cast("int") throws CAST_OVERFLOW under ANSI
+                lambda t: (
+                    F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF))
+                    - F.lit(2_147_483_648)
+                ).cast("int"),
+            )
         ).alias("tok_hashes"),
         simhash64_udf(norm).alias("simhash"),
     )
