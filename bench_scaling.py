@@ -674,6 +674,9 @@ def main() -> None:
                     help="legacy one-leg-after-the-other scheduling "
                          "(default interleaves passes across both legs "
                          "so machine-epoch drift cancels in the ratio)")
+    ap.add_argument("--note", default="",
+                    help="extra markdown appended to BENCH/BASELINE.md "
+                         "documenting this configuration's rationale")
     args = ap.parse_args()
 
     ratio = args.high / args.low
@@ -762,6 +765,8 @@ def main() -> None:
             "leg_median_efficiency": leg_eff,
             "interleaved": not args.sequential,
             "n_pair_samples": len(pair_effs),
+            "low_cores": lo["cores"],
+            "high_cores": hi["cores"],
             "low_pps": lo["pairs_per_sec"],
             "high_pps": hi["pairs_per_sec"],
             "low_clean": lo["clean_samples"],
@@ -875,6 +880,12 @@ vs the scoring stage by the latency-bound closure loop (fixed round
 count; per-round driver/job latency does not shrink with cores).
 Per-pass evidence: N = {el['passes']}, 4N = {eh['passes']}.
 """
+    if args.note:
+        payload["note"] = args.note
+        md += f"\n## Configuration rationale\n\n{args.note}\n"
+        # keep the payload artifact in sync with the prose
+        with open("BENCH/scaling.json", "w") as f:
+            json.dump(payload, f, indent=2)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
     sync_headline_claims(payload)
