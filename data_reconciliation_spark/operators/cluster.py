@@ -131,11 +131,19 @@ def _local_union_find(e: DataFrame) -> DataFrame:
 
     Returns (node, component=min id in component) for every node that
     appears in an edge — identical semantics and output schema to the
-    distributed path.  Works for any orderable id type; non-numeric ids
-    go through pandas factorization (codes are ordinal in sorted-unique
-    order, so min-code == min-value).
+    distributed path.  Works for any orderable id type.
+
+    Id-to-code mapping is hash-based ``pd.factorize`` followed by an
+    argsort of the UNIQUES only, remapped so codes are ordinal in
+    sorted-unique order (min-code == min-value, the property the
+    union-find's minimum relies on).  ``np.unique(return_inverse=True)``
+    comparison-sorts the full 2x|E| object array instead of just the
+    uniques — measured 4.1s vs 1.2s on an 800k-edge url graph, and this
+    serial step is the e2e pipeline's scaling diluter (it costs the
+    same at any core count).
     """
     import numpy as np
+    import pandas as pd
 
     spark = e.sparkSession
     node_type = e.schema["src"].dataType
@@ -144,10 +152,15 @@ def _local_union_find(e: DataFrame) -> DataFrame:
     if len(pdf) == 0:
         return spark.createDataFrame([], schema=out_schema)
 
-    nodes, codes = np.unique(
-        np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]),
-        return_inverse=True,
+    raw_codes, uniq = pd.factorize(
+        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
     )
+    uniq = np.asarray(uniq)
+    order = np.argsort(uniq, kind="stable")
+    rank_of = np.empty(len(uniq), dtype=np.int64)
+    rank_of[order] = np.arange(len(uniq))
+    nodes = uniq[order]          # rank i == i-th smallest node value
+    codes = rank_of[raw_codes]
     ea, eb = codes[: len(pdf)], codes[len(pdf):]
     parent = np.arange(len(nodes), dtype=np.int64)
     while True:
