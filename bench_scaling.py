@@ -670,6 +670,11 @@ def main() -> None:
     ap.add_argument("--mem", default="48g")
     ap.add_argument("--skip-e2e", action="store_true",
                     help="measure only the scoring stage (the gated metric)")
+    ap.add_argument("--e2e-only", action="store_true",
+                    help="re-measure only the end-to-end legs; the scoring "
+                         "legs are carried from BENCH/scaling.json and "
+                         "stamped with their provenance (mirror of "
+                         "--skip-e2e)")
     ap.add_argument("--sequential", action="store_true",
                     help="legacy one-leg-after-the-other scheduling "
                          "(default interleaves passes across both legs "
@@ -679,37 +684,76 @@ def main() -> None:
                          "documenting this configuration's rationale")
     args = ap.parse_args()
 
+    if args.e2e_only and args.skip_e2e:
+        raise SystemExit("--e2e-only and --skip-e2e are mutually exclusive")
+
     ratio = args.high / args.low
     pair_effs: list = []
-    if args.sequential:
+    scoring_carried_ts = None
+    if args.e2e_only:
+        # Mirror of --skip-e2e: the GATED scoring legs are carried from
+        # the committed artifact (same provenance-stamp discipline —
+        # round-4 verdict #3: a carried leg must never read as if it
+        # were measured alongside the fresh number); only the
+        # informational e2e legs are re-measured below.
+        with open("BENCH/scaling.json") as f:
+            prev = json.load(f)
+        lo, hi = prev["low"], prev["high"]
+        if lo["cores"] != args.low or hi["cores"] != args.high:
+            raise SystemExit(
+                f"--e2e-only: carried scoring legs are "
+                f"local[{lo['cores']}]->local[{hi['cores']}]; pass "
+                f"--low {lo['cores']} --high {hi['cores']} so the e2e "
+                "legs use the same published configuration")
+        pair_effs = prev.get("pair_efficiencies", [])
+        leg_eff = prev.get("leg_median_efficiency")
+        eff = prev["scaling_efficiency"]
+        scoring_carried_ts = prev.get("scoring_measured_ts")
+        if scoring_carried_ts is None:
+            # pre-provenance artifacts have no scoring stamp; the last
+            # history row is the invocation that wrote the artifact
+            try:
+                with open("BENCH/scaling_history.jsonl") as f:
+                    scoring_carried_ts = json.loads(
+                        f.readlines()[-1])["ts"]
+            except Exception:
+                pass
+    elif args.sequential:
         lo = run_config(args.low, args.pages, args.mem)
         hi = run_config(args.high, args.pages, args.mem)
     else:
         lo, hi, pair_effs = run_interleaved(
             args.low, args.high, args.pages, args.mem
         )
-    leg_eff = round(hi["pairs_per_sec"] / (ratio * lo["pairs_per_sec"]), 3)
-    if len(pair_effs) >= 3:
-        # headline = median of per-epoch pair ratios: each ratio takes
-        # its two passes seconds apart, so machine-epoch drift (turbo
-        # state, background tenants) cancels instead of landing on one
-        # leg.  The leg-median efficiency is retained for comparability
-        # with the sequential history.
-        s = sorted(pair_effs)
-        eff = s[len(s) // 2]
-    else:
-        eff = leg_eff
+    if not args.e2e_only:
+        leg_eff = round(hi["pairs_per_sec"] / (ratio * lo["pairs_per_sec"]), 3)
+        if len(pair_effs) >= 3:
+            # headline = median of per-epoch pair ratios: each ratio takes
+            # its two passes seconds apart, so machine-epoch drift (turbo
+            # state, background tenants) cancels instead of landing on one
+            # leg.  The leg-median efficiency is retained for comparability
+            # with the sequential history.
+            s = sorted(pair_effs)
+            eff = s[len(s) // 2]
+        else:
+            eff = leg_eff
+
+    import time as _t
 
     os.makedirs("BENCH", exist_ok=True)
     payload = {"low": lo, "high": hi, "parallelism_ratio": ratio,
                "scaling_efficiency": eff,
                "leg_median_efficiency": leg_eff,
                "pair_efficiencies": pair_effs,
-               "interleaved": not args.sequential,
+               "interleaved": (prev.get("interleaved", True) if args.e2e_only
+                               else not args.sequential),
                "samples_per_config": 5,
-               "steal_gate": 0.02}
-
-    import time as _t
+               "steal_gate": 0.02,
+               "scoring_measured_ts": (scoring_carried_ts if args.e2e_only
+                                       else int(_t.time())),
+               "scoring_carried_forward": bool(args.e2e_only)}
+    if args.e2e_only and prev.get("note"):
+        payload["note"] = prev["note"]
 
     if args.skip_e2e:
         # keep the most recent e2e measurement in the artifact (it is
@@ -775,8 +819,26 @@ def main() -> None:
             "degraded": bool(lo.get("degraded") or hi.get("degraded")),
             "e2e_efficiency": payload.get("e2e", {}).get("scaling_efficiency"),
             "e2e_carried_forward": payload.get("e2e", {}).get("carried_forward", False),
-            "pages": args.pages,
+            "scoring_carried_forward": payload.get("scoring_carried_forward", False),
+            "pages": lo["pages"],
         }) + "\n")
+
+    if payload.get("scoring_carried_forward"):
+        _sc_when = (
+            _t.strftime("%Y-%m-%d %H:%M UTC",
+                        _t.gmtime(payload["scoring_measured_ts"]))
+            if payload.get("scoring_measured_ts")
+            else "unknown time (pre-provenance artifact)"
+        )
+        _scoring_prov = (
+            f"\n**Provenance: scoring legs CARRIED FORWARD from the run "
+            f"measured {_sc_when}** (this harness invocation re-ran only "
+            "the informational end-to-end legs with --e2e-only); the "
+            "scoring and e2e numbers on this page come from different "
+            "runs.\n"
+        )
+    else:
+        _scoring_prov = ""
 
     md = f"""# BENCH/BASELINE — throughput & scaling evidence
 
@@ -796,7 +858,7 @@ at warehouse scale), i.e. exactly the
 Blocking/materialization is untimed setup (at warehouse scale the
 candidate table is a written intermediate).  Input: deterministic
 synthetic pages (hash-derived from row ids — byte-identical at any
-parallelism), {args.pages} pages, 16 variants per entity, ~2 entities
+parallelism), {lo['pages']} pages, 16 variants per entity, ~2 entities
 per host (so same-host cross-entity HARD NEGATIVES flow through the
 prefilter alongside the dense true pairs — realistic corpus shape),
 ~20% of entities on one over-cap hot host exercising the star-pairing
@@ -813,11 +875,11 @@ Scheduling: {"passes INTERLEAVED across both legs (one low pass, one "
 configuration reports the MEDIAN of its steal-clean steady-state
 passes after two untimed warmup passes (per-pass evidence below the
 table).
-
+{_scoring_prov}
 | config | pages | candidate pairs scored | match verdicts | seconds | pairs/sec |
 |---|---|---|---|---|---|
-| local[{args.low}]  (N)  | {lo['pages']} | {lo['pairs']} | {lo['matches']} | {lo['seconds']} | {lo['pairs_per_sec']} |
-| local[{args.high}] (4N) | {hi['pages']} | {hi['pairs']} | {hi['matches']} | {hi['seconds']} | {hi['pairs_per_sec']} |
+| local[{lo['cores']}]  (N)  | {lo['pages']} | {lo['pairs']} | {lo['matches']} | {lo['seconds']} | {lo['pairs_per_sec']} |
+| local[{hi['cores']}] (4N) | {hi['pages']} | {hi['pairs']} | {hi['matches']} | {hi['seconds']} | {hi['pairs_per_sec']} |
 
 Per-pass evidence (sec / pairs-per-sec / machine steal fraction /
 STW-GC ms / pinned-cpuset busy cpu-sec + utilization / kept):
@@ -857,8 +919,13 @@ steady-state number above dominates it architecturally.
             "with --skip-e2e); the e2e and scoring numbers on this page "
             "come from different runs."
             if e.get("carried_forward")
-            else f"Provenance: measured in THIS harness run ({_prov_when}), "
-            "alongside the scoring legs above."
+            else f"Provenance: measured in THIS harness run ({_prov_when})"
+            + (
+                "; the scoring legs above are carried forward from an "
+                "earlier run (see their provenance stamp)."
+                if payload.get("scoring_carried_forward")
+                else ", alongside the scoring legs above."
+            )
         )
         md += f"""
 ## Full-pipeline scaling (informational — the gated metric above is the scoring stage per BASELINE.json)
@@ -880,9 +947,10 @@ vs the scoring stage by the latency-bound closure loop (fixed round
 count; per-round driver/job latency does not shrink with cores).
 Per-pass evidence: N = {el['passes']}, 4N = {eh['passes']}.
 """
-    if args.note:
-        payload["note"] = args.note
-        md += f"\n## Configuration rationale\n\n{args.note}\n"
+    note = args.note or payload.get("note")
+    if note:
+        payload["note"] = note
+        md += f"\n## Configuration rationale\n\n{note}\n"
         # keep the payload artifact in sync with the prose
         with open("BENCH/scaling.json", "w") as f:
             json.dump(payload, f, indent=2)
