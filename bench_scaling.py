@@ -755,6 +755,26 @@ def main() -> None:
     if args.e2e_only and prev.get("note"):
         payload["note"] = prev["note"]
 
+    # Surface GC-anomaly exclusions per leg (round-5 ADVICE): unlike
+    # hypervisor steal, a G1 full-GC storm is the workload's OWN heap
+    # behavior, so silently excluding such passes can bias the published
+    # median upward.  Every exclusion is counted here and rendered next
+    # to the headline; a leg whose exclusions exceed half its
+    # post-warmup passes is marked degraded (no PASS/FAIL published).
+    def _gc_excluded(leg: dict) -> int:
+        return sum(
+            1
+            for p in leg.get("passes", [])
+            if p.get("gc_anomaly") and not p.get("warmup")
+        )
+
+    for leg in (lo, hi):
+        leg["gc_excluded"] = _gc_excluded(leg)
+        post = sum(1 for p in leg.get("passes", []) if not p.get("warmup"))
+        if post and leg["gc_excluded"] > post / 2:
+            leg["degraded"] = True
+            leg["gc_degraded"] = True
+
     if args.skip_e2e:
         # keep the most recent e2e measurement in the artifact (it is
         # informational; --skip-e2e reruns only the gated scoring legs).
@@ -795,6 +815,20 @@ def main() -> None:
             print(f"[e2e] legs failed, keeping scoring result: {exc}",
                   file=sys.stderr)
             payload["e2e_error"] = str(exc)[:2000]
+            # a failed re-measure must not DESTROY the previously
+            # published e2e measurement (round-5 ADVICE: --e2e-only with
+            # a crashed child wrote an artifact with no 'e2e' key) —
+            # carry the prior measurement forward, provenance-stamped,
+            # exactly as --skip-e2e does, alongside the recorded error.
+            try:
+                with open("BENCH/scaling.json") as f:
+                    _prev_artifact = json.load(f)
+                if "e2e" in _prev_artifact:
+                    payload["e2e"] = dict(
+                        _prev_artifact["e2e"], carried_forward=True
+                    )
+            except Exception:
+                pass
     with open("BENCH/scaling.json", "w") as f:
         json.dump(payload, f, indent=2)
     # append-only run history: every harness invocation leaves a summary
@@ -807,7 +841,10 @@ def main() -> None:
             "ts": int(_time.time()),
             "scoring_efficiency": eff,
             "leg_median_efficiency": leg_eff,
-            "interleaved": not args.sequential,
+            # the payload value, NOT this invocation's CLI flags: under
+            # --e2e-only the scoring legs are carried forward and this
+            # field must describe THEIR scheduling (round-5 ADVICE)
+            "interleaved": payload["interleaved"],
             "n_pair_samples": len(pair_effs),
             "low_cores": lo["cores"],
             "high_cores": hi["cores"],
@@ -847,8 +884,9 @@ evidenced per driver instruction by the same job on the same input at two
 parallelism levels in this sandbox (no real cluster available).
 
 Timed job: the candidate-pair SCORING stage — the cascade of native
-hashed-token Jaccard (one array_intersect over precomputed 8-byte token
-hashes) + SimHash Hamming (bit_count/xor) on every pair, plus the
+hashed-token Jaccard (one array_intersect over precomputed 4-byte token
+hashes, the low word of xxhash64) + SimHash Hamming (bit_count/xor) on
+every pair, plus the
 numpy-vectorized Arrow UDF (Jaro-Winkler on canonical url + title, the
 north-star feature set) whose inputs are NULLED for prefilter-pruned
 pairs — over a WRITTEN parquet candidate-pair table (all caches
@@ -888,7 +926,13 @@ hypervisor CPU steal (bursty noisy neighbors on this sandbox VM;
 steal_frac >= 0.02) or by a G1 full-GC storm (STW >= 10% of wall —
 heap-fragmentation bad luck, not throughput; observed once at 54% of
 a pass) are excluded from the median — every exclusion and its
-steal/GC measurements are listed above for audit.  cpu_util near 1.0
+steal/GC measurements are listed above for audit.  GC-anomaly
+exclusions this run: N leg {lo.get('gc_excluded', 0)}, 4N leg
+{hi.get('gc_excluded', 0)} post-warmup passes — counted because the GC
+gate filters an ENDOGENOUS cost (the workload's own heap behavior,
+unlike steal), so a leg with exclusions on more than half its
+post-warmup passes is marked degraded instead of publishing a
+gate-biased median.  cpu_util near 1.0
 on both legs (tools/diag_scaling_cpu.py) shows the engine keeps every
 pinned core busy; residual pass-to-pass spread tracks busy cpu-seconds
 for identical work, i.e. per-core memory-bandwidth weather from

@@ -155,6 +155,13 @@ def _local_union_find(e: DataFrame) -> DataFrame:
     raw_codes, uniq = pd.factorize(
         pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
     )
+    # factorize codes nulls as -1 and drops them from `uniq`; downstream
+    # rank_of[raw_codes] would then silently alias a null node onto the
+    # lexicographically-largest node (rank_of[-1]).  Unreachable via
+    # connected_components (its src != dst filter is null-rejecting),
+    # but fail loudly rather than corrupt if fed nulls directly.
+    if (raw_codes < 0).any():
+        raise ValueError("_local_union_find: null node ids in edge set")
     uniq = np.asarray(uniq)
     order = np.argsort(uniq, kind="stable")
     rank_of = np.empty(len(uniq), dtype=np.int64)

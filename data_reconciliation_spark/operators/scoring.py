@@ -12,8 +12,9 @@ three-tier cascade chosen by measured cost per pair:
    pandas UDF — ~260us/text, which is why it must never run per pair).
 2. **native pair features** (JVM, whole-stage codegen, every candidate
    pair): token-set Jaccard via one ``array_intersect`` over
-   precomputed 8-byte token hashes (|union| = |A|+|B|-|inter|, no union
-   array built), and SimHash Hamming distance via ``bit_count(xor)``.
+   precomputed 4-byte token hashes — the low word of xxhash64
+   (|union| = |A|+|B|-|inter|, no union array built), and SimHash
+   Hamming distance via ``bit_count(xor)``.
 3. **Arrow-batched pair UDF** (numpy-vectorized Jaro-Winkler on
    canonical URL + title): inputs are NULLED for pairs failing the
    cheap native prefilter, so the Arrow transfer ships null bitmaps
