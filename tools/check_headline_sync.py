@@ -42,7 +42,25 @@ def check(repo_root: str | None = None) -> str:
             "re-run `python bench.py` (sf0.1) instead of hand-editing.\n"
             f"--- in BASELINE.md ---\n{got}\n--- from artifact ---\n{want}"
         )
-    return "OK: BASELINE.md headline block matches BENCH/headline.json"
+
+    # docs/SCALE.md quotes the closure headline in prose (round-5
+    # verdict #1: that sentence drifted to a stale number) — validate
+    # its marker against the same artifact.
+    scale_md = open(os.path.join(root, "docs", "SCALE.md")).read()
+    b, e = "<!--HEADLINE-CLOSURE-->", "<!--/HEADLINE-CLOSURE-->"
+    if b in scale_md:
+        quoted = scale_md.split(b, 1)[1].split(e, 1)[0].strip()
+        actual = f"{payload['queries']['cluster_chain_components']}s"
+        if quoted != actual:
+            raise AssertionError(
+                f"docs/SCALE.md quotes the closure headline as {quoted!r} "
+                f"but BENCH/headline.json says {actual!r} — update the "
+                "marker from the artifact, never by hand"
+            )
+    return (
+        "OK: BASELINE.md headline block and docs/SCALE.md closure quote "
+        "match BENCH/headline.json"
+    )
 
 
 if __name__ == "__main__":
