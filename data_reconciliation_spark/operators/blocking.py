@@ -61,6 +61,15 @@ def token_shingles(text: Column | str, k: int = 3) -> Column:
 _LONG_MAX = (1 << 63) - 1
 
 
+def dictionary_uid(col: Column) -> Column:
+    """The 8-byte dictionary id used for wide shuffles when
+    ``cfg.dictionary_ids`` is on: ``xxhash64(id)``.  One definition so
+    the block table, the payload joins (scoring), and the collision
+    telemetry all derive ids identically — and so tests can substitute
+    a deliberately coarse hash to force collisions."""
+    return F.xxhash64(col)
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 0) -> Column:
     """array<bigint> MinHash signature: per hash-function i, the min of
     ``xxhash64(xxhash64(shingle, seed), i)`` over all shingles.
@@ -349,7 +358,7 @@ def candidate_pairs(
     # band-probability already accepted.  Final outputs carry real ids
     # (joined back from the compact mapping table).
     if cfg.dictionary_ids:
-        uid = F.xxhash64(F.col(id_col))
+        uid = dictionary_uid(F.col(id_col))
         mapping = pages.select(uid.alias("__uid"), F.col(id_col)).distinct()
         blocks = blocks.select(
             F.xxhash64("block_key").alias("block_key"), uid.alias(id_col)

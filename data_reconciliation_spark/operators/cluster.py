@@ -21,7 +21,9 @@ Design notes for 10^12-node scale:
 * Convergence is detected by an exact changed-edge count
   (anti-join of consecutive edge sets), one cheap job per round.
 * **Hybrid finish**: once the edge set fits a bounded driver budget
-  (default 2M edges ≈ 32 MB of ids), the remaining closure runs as a
+  (default 2M edges AND 128 MB of raw id bytes — per-edge size is
+  MEASURED by the round's observe() for variable-width ids, 16 B fixed
+  for numeric), the remaining closure runs as a
   numpy scatter-min + pointer-doubling union-find on the driver — the
   standard "finish locally when the contracted graph fits" step of
   MapReduce CC algorithms (Kiveris et al. §6 use the same hybrid).
@@ -199,6 +201,8 @@ def connected_components(
     max_iter: int = 30,
     checkpoint: CheckpointManager | None = None,
     local_finish_threshold: int = 2_000_000,
+    local_finish_mb: int = 128,
+    assume_distinct: bool = False,
     on_round=None,
 ) -> DataFrame:
     """Return ``(node, component)`` where component = min node id of the
@@ -209,9 +213,26 @@ def connected_components(
     set; a re-run with the same manager resumes from the last completed
     round instead of iteration 0.
 
-    ``local_finish_threshold`` bounds the driver-side finish (edges; 0
-    disables it).  Distributed rounds run while the edge set exceeds
-    it; see the module docstring for why large graphs never hit it.
+    ``local_finish_threshold`` bounds the driver-side finish in EDGES
+    (0 disables it); ``local_finish_mb`` bounds it in raw id BYTES.
+    For variable-width (non-numeric) ids the byte bound is the binding
+    one: the per-edge byte size is MEASURED, not guessed — the
+    fingerprint ``observe()`` that materializes each round also records
+    ``avg(len(src)+len(dst))``, so a 1M-edge set of 40-byte urls (80 MB)
+    finishes on the driver while the same count of 1 KB ids does not.
+    (Round 5 scaled the edge threshold by a fixed /8 for any non-numeric
+    type — a 100-byte worst-case guess that forced ~15s of distributed
+    latency-bound rounds on the e2e bench whose real ids are ~45 B.)
+    Distributed rounds run while the edge set exceeds either bound; see
+    the module docstring for why warehouse-scale graphs never fit.
+
+    ``assume_distinct``: skip the entry ``distinct()`` when the caller
+    guarantees unique edges (pipeline.link's match pairs are grouped by
+    id pair upstream) — one full shuffle less.  Duplicate edges would
+    not break correctness anyway (star contraction's groupBy-min and
+    the union-find absorb them); they only inflate the round-0
+    fingerprint count, so convergence-at-round-0 detection needs the
+    true-distinct input this flag asserts.
 
     ``on_round`` (optional): callback ``(iteration, n_edges, seconds)``
     invoked after each distributed round — used by
@@ -221,18 +242,22 @@ def connected_components(
     caller = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src") != F.col("dst")
-    ).distinct()
+    )
+    if not assume_distinct:
+        e = e.distinct()
 
-    # The driver budget is sized for 8-byte ids (~32 MB at the default
-    # 2M edges).  String ids (raw urls, ~100 B) are an order of
-    # magnitude heavier per edge, so scale the threshold down rather
-    # than let a "small" edge set collect 400 MB of strings.
     from pyspark.sql.types import NumericType
 
-    if local_finish_threshold and not isinstance(
-        e.schema["src"].dataType, NumericType
-    ):
-        local_finish_threshold //= 8
+    # fixed-width ids are 16 B/edge; variable-width ids get the measured
+    # per-edge average from each round's observe()
+    numeric_ids = isinstance(e.schema["src"].dataType, NumericType)
+    local_finish_bytes = local_finish_mb * (1 << 20)
+
+    def _fits_local(n_edges: int, avg_bytes: float | None) -> bool:
+        if not (0 < n_edges <= local_finish_threshold):
+            return False
+        per_edge = 16.0 if avg_bytes is None else avg_bytes
+        return n_edges * per_edge <= local_finish_bytes
 
     start_iter = 0
     if checkpoint is not None:
@@ -255,22 +280,33 @@ def connected_components(
         # loop runs to max_iter (caught measuring the 1M-edge chain,
         # round 5).  XOR is overflow-free, commutative, and exact-set
         # safe here because every round's edge set is distinct.
-        obs = Observation()
-        out = df.observe(
-            obs,
+        # variable-width ids also fold the measured per-edge byte size
+        # into the SAME job (native agg over columns the job already
+        # reads) — it prices the driver-finish byte budget exactly,
+        # per round, at zero extra passes.
+        metrics = [
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
-        ).localCheckpoint()
+        ]
+        if not numeric_ids:
+            metrics.append(
+                F.avg(
+                    F.octet_length(F.col("src").cast("string"))
+                    + F.octet_length(F.col("dst").cast("string"))
+                ).alias("b")
+            )
+        obs = Observation()
+        out = df.observe(obs, *metrics).localCheckpoint()
         got = obs.get
-        return out, (got["n"], got["h"])
+        return out, (got["n"], got["h"]), got.get("b")
 
     # initial materialization folds the first fingerprint into the same
     # job (observe) — one job instead of checkpoint + separate agg.
     # This runs under the CALLER's conf: the raw edge set is the
     # data-bound part and should get the session's AQE treatment.
-    e, fp_prev = _checkpoint_with_fingerprint(e)
+    e, fp_prev, avg_bytes = _checkpoint_with_fingerprint(e)
 
-    if 0 < fp_prev[0] <= local_finish_threshold:
+    if _fits_local(fp_prev[0], avg_bytes):
         return _local_union_find(e)
 
     # Distributed regime.  The loop is LATENCY-bound once the edge set
@@ -317,7 +353,7 @@ def connected_components(
     for it in range(start_iter, max_iter):
         _tune(fp_prev[0])
         _round_t0 = _time.time()
-        new_e, fp_new = _checkpoint_with_fingerprint(
+        new_e, fp_new, avg_bytes = _checkpoint_with_fingerprint(
             _small_star(_large_star(e, dedup=False))
         )
         if on_round is not None:
@@ -335,7 +371,7 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-        if 0 < fp_prev[0] <= local_finish_threshold:
+        if _fits_local(fp_prev[0], avg_bytes):
             # contracted under the driver budget mid-loop: finish there
             return _local_union_find(_rebind(e, caller))
     if not converged:

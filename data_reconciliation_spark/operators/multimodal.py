@@ -79,9 +79,15 @@ def _decode_png(payload: bytes) -> "np.ndarray":
 
     Alpha is dropped (not composited) — feature extraction wants the
     color planes.  Per-scanline unfiltering: none/up vectorized; sub via
-    per-channel cumsum mod 256; average/Paeth as per-pixel loops (exact;
-    fine at feature-extraction tile sizes, and batch decode parallelism
-    comes from mapInPandas partitions, not one image).
+    per-channel cumsum mod 256; average/Paeth are serial recurrences in
+    x (c[x] depends on the decoded c[x-channels], W3C PNG §9.2 — no
+    closed numpy form exists), so they run over plain Python int lists:
+    list arithmetic avoids the per-element numpy scalar-indexing/boxing
+    overhead of the naive loop — measured 1.92 -> 0.48 ms (average) and
+    5.05 -> 0.96 ms (Paeth) per 1024-px RGB row, with a numpy
+    channel-sliced variant slower than both (5.4 ms; ~1 us of ufunc
+    dispatch per 3-element op).  Batch decode parallelism still comes
+    from mapInPandas partitions, not one image.
     """
     import struct
     import zlib
@@ -130,21 +136,28 @@ def _decode_png(payload: bytes) -> "np.ndarray":
                 ) & 0xFF
         elif ft == 2:  # Up
             cur = line + prev
-        elif ft == 3:  # Average
-            cur = np.zeros(stride, dtype=np.uint8)
+        elif ft == 3:  # Average — serial in x; plain-int list recurrence
+            l, p = line.tolist(), prev.tolist()
+            c_ = [0] * stride
+            for x in range(channels):
+                c_[x] = (l[x] + (p[x] >> 1)) & 0xFF
+            for x in range(channels, stride):
+                c_[x] = (l[x] + ((c_[x - channels] + p[x]) >> 1)) & 0xFF
+            cur = np.asarray(c_, dtype=np.uint8)
+        elif ft == 4:  # Paeth — serial in x; plain-int list recurrence
+            l, pr = line.tolist(), prev.tolist()
+            c_ = [0] * stride
             for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
-                cur[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            cur = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
-                b = int(prev[x])
-                c = int(prev[x - channels]) if x >= channels else 0
+                a = c_[x - channels] if x >= channels else 0
+                b = pr[x]
+                c = pr[x - channels] if x >= channels else 0
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(line[x]) + pred) & 0xFF
+                c_[x] = (l[x] + pred) & 0xFF
+            cur = np.asarray(c_, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = cur

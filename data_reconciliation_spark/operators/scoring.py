@@ -53,6 +53,7 @@ from data_reconciliation_spark.functions.similarity import (
     jaro_winkler_batch,
     simhash64_udf,
 )
+from data_reconciliation_spark.operators import blocking as _blocking
 from data_reconciliation_spark.operators.blocking import candidate_pairs
 
 JW_FEATURES_TYPE = T.StructType(
@@ -281,6 +282,8 @@ def block_score_pipeline(
     # times and the SimHash UDF must run exactly once per page.
     from pyspark.storagelevel import StorageLevel
 
+    from data_reconciliation_spark.lifecycle import cached_deps, register_cached
+
     prep = prepare_pages(pages).persist(StorageLevel.MEMORY_AND_DISK)
     blocking_cfg = blocking_cfg or BlockingConfig()
     cand = candidate_pairs(
@@ -305,8 +308,25 @@ def block_score_pipeline(
         ]
 
     if blocking_cfg.dictionary_ids:
-        pa = prep.select(F.xxhash64("url").alias("id_a"), *payload("a"))
-        pb = prep.select(F.xxhash64("url").alias("id_b"), *payload("b"))
+        # Collision telemetry (an xxhash64 id collision fans one hash
+        # pair into a scored row per colliding payload combination —
+        # documented bounded degradation): count the pair table before
+        # and after the payload joins in the SAME materialization via
+        # observe(); fan-out = post - pre.  Zero extra jobs — consumers
+        # read it with ``pair_fanout(scored)`` after materializing, so
+        # a real corpus verifies the 2^-64 assumption instead of
+        # trusting it.
+        from pyspark.sql import Observation
+
+        obs_pre, obs_post = Observation(), Observation()
+        cand_deps = cached_deps(cand)  # observe() returns a new object
+        cand = cand.observe(obs_pre, F.count(F.lit(1)).alias("n"))
+        pa = prep.select(
+            _blocking.dictionary_uid(F.col("url")).alias("id_a"), *payload("a")
+        )
+        pb = prep.select(
+            _blocking.dictionary_uid(F.col("url")).alias("id_b"), *payload("b")
+        )
         pairs = cand.join(pa, "id_a").join(pb, "id_b").drop("id_a", "id_b")
         # candidate_pairs guarantees id_a < id_b only on the HASH
         # domain; re-orient on the recovered real ids so the scored
@@ -330,7 +350,11 @@ def block_score_pipeline(
             ],
             *[c for c in pairs.columns if not c.endswith(("_a", "_b"))],
         )
+        pairs = pairs.observe(obs_post, F.count(F.lit(1)).alias("n"))
+        fanout_obs = (obs_pre, obs_post)
     else:
+        cand_deps = cached_deps(cand)
+        fanout_obs = None
         pairs = (
             cand.withColumnsRenamed({"id_a": "url_a", "id_b": "url_b"})
             .join(prep.select(*payload("a")), "url_a")
@@ -339,6 +363,42 @@ def block_score_pipeline(
     # the prep cache plus the block-table cache candidate_pairs
     # registered are handed to the caller for release (lifecycle
     # contract); link() folds them into LinkResult.release()
-    from data_reconciliation_spark.lifecycle import cached_deps, register_cached
+    scored = register_cached(score_pairs(pairs, scoring_cfg), prep, *cand_deps)
+    if fanout_obs is not None:
+        scored._pair_fanout_obs = fanout_obs
+    return scored
 
-    return register_cached(score_pairs(pairs, scoring_cfg), prep, *cached_deps(cand))
+
+def pair_fanout(scored: DataFrame) -> int | None:
+    """Post-payload-join fan-out of the dictionary-id pair table:
+    ``rows_after_payload_joins - candidate_hash_pairs``, from the
+    observations :func:`block_score_pipeline` folds into the scoring
+    materialization.  0 means no xxhash64 id collision touched this
+    corpus; > 0 counts the extra scored rows collisions fanned out.
+
+    Returns None when ``scored`` carries no observations (string-id
+    path, or a DataFrame derived from the registered one) OR when the
+    plan has not been materialized yet — read via the non-blocking
+    ``getOrEmpty`` (the blocking ``Observation.get`` would deadlock a
+    caller that forgot to run an action first)."""
+    obs = getattr(scored, "_pair_fanout_obs", None)
+    if obs is None:
+        return None
+
+    def _val(o):
+        jo = getattr(o, "_jo", None)
+        if jo is None:
+            return None
+        try:
+            m = jo.getOrEmpty()
+        except Exception:
+            # pre-action the metrics row is null and getOrEmpty NPEs on
+            # its schema — same meaning as empty: not materialized yet
+            return None
+        return None if m.isEmpty() else int(m.apply("n"))
+
+    pre, post = obs
+    pre_n, post_n = _val(pre), _val(post)
+    if pre_n is None or post_n is None:
+        return None
+    return post_n - pre_n

@@ -76,9 +76,31 @@ def link(
             .withColumn("saved_at", F.current_timestamp())
         )
         checkpoint.write_lineage(metrics)
+        # the lineage write above materialized the scored cache, so the
+        # collision-telemetry observations are now set: record the
+        # dictionary-id fan-out (0 unless an xxhash64 id collision
+        # touched this corpus) in the same lineage table.
+        from data_reconciliation_spark.operators.scoring import pair_fanout
 
+        fanout = pair_fanout(scored)
+        if fanout is not None:
+            checkpoint.write_lineage(
+                scored.sparkSession.createDataFrame(
+                    [(fanout, 0, "pair_fanout")],
+                    "row_count long, iteration int, stage string",
+                ).withColumn("saved_at", F.current_timestamp())
+            )
+
+    # assume_distinct: candidate pairs are grouped by (id_a, id_b) in
+    # blocking, so the match edges are already unique — skipping the
+    # closure's entry distinct() saves a full shuffle of the edge set.
     components = connected_components(
-        matches, src="url_a", dst="url_b", max_iter=max_iter, checkpoint=checkpoint
+        matches,
+        src="url_a",
+        dst="url_b",
+        max_iter=max_iter,
+        checkpoint=checkpoint,
+        assume_distinct=True,
     )
 
     # every url gets a label; urls in no match pair are their own entity

@@ -584,6 +584,14 @@ def test_png_decode_roundtrip_and_filters(spark):
     data = encode_with_filters(img, 2, 3, filters=[0, 1, 2, 3, 4])
     assert (_decode_png(data) == img).all()
 
+    # larger fixture dominated by the list-recurrence average/Paeth
+    # paths (round-5 verdict #7 rewrote them off numpy scalar loops):
+    # 96x128 RGB, rows alternating 3/4 with occasional 0/1/2 so every
+    # row's `prev` context comes from a rewritten-path row
+    big = rng.randint(0, 256, size=(96, 128, 3), dtype=np.uint8)
+    data = encode_with_filters(big, 2, 3, filters=[3, 4, 4, 3, 0, 3, 4, 1, 4, 2])
+    assert (_decode_png(data) == big).all()
+
     # grayscale -> replicated channels
     gray = rng.randint(0, 256, size=(4, 6, 1), dtype=np.uint8)
     got = _decode_png(encode_with_filters(gray, 0, 1, filters=[4, 3, 2, 1]))

@@ -144,6 +144,53 @@ def test_connected_components_vs_networkx(spark):
         for r in connected_components(df, local_finish_threshold=200).collect()
     }
     assert got_mid == want
+    # byte budget binds independently of the edge budget: a tiny
+    # local_finish_mb forces the distributed loop for string ids even
+    # though the edge count fits, and the result is identical
+    got_bytes = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_finish_mb=0).collect()
+    }
+    assert got_bytes == want
+    # assume_distinct (the link() fast path — edges here ARE distinct
+    # post-dedup): same labels, one shuffle less
+    ddf = df.distinct()
+    got_nodedup = {
+        r["node"]: r["component"]
+        for r in connected_components(ddf, assume_distinct=True).collect()
+    }
+    assert got_nodedup == want
+
+
+def test_local_finish_byte_budget_measures_ids(spark):
+    """The driver-finish gate prices VARIABLE-WIDTH ids by measured
+    bytes: the same 60-edge graph fits the budget with short ids but
+    not with ~16 KB ids at local_finish_mb=1 (60 * 32 KB > 1 MB), where
+    the closure must fall back to the distributed loop — observable via
+    max_iter=1 (the distributed loop raises; the local finish cannot)."""
+    import pytest
+
+    short = spark.createDataFrame(
+        [(f"s{i:02d}", f"s{i+1:02d}") for i in range(60)],
+        "src string, dst string",
+    )
+    # short ids: ~6 B/edge * 60 edges fits 1 MB -> local finish, which
+    # closes the whole chain in one shot regardless of max_iter
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            short, local_finish_mb=1, max_iter=1
+        ).collect()
+    }
+    assert set(labels.values()) == {"s00"}
+
+    pad = "x" * 16384
+    fat = spark.createDataFrame(
+        [(f"{pad}{i:02d}", f"{pad}{i+1:02d}") for i in range(60)],
+        "src string, dst string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(fat, local_finish_mb=1, max_iter=1)
 
 
 def test_closure_resume(spark, tmp_path):
@@ -183,6 +230,23 @@ def test_closure_resume(spark, tmp_path):
     assert lineage.agg(F.sum("row_count")).collect()[0][0] > 0
 
 
+def test_link_writes_scoring_lineage_and_fanout(spark, pages, tmp_path):
+    """link() with a checkpoint manager records per-partition scoring
+    lineage (north rule) plus the dictionary-id collision fan-out row
+    (round-5 verdict #8) — 0 on a clean corpus."""
+    mgr = CheckpointManager(spark, str(tmp_path / "link_ckpt"))
+    res = link(pages, checkpoint=mgr)
+    res.clusters.count()
+    res.release()
+    lin = mgr.lineage()
+    assert lin is not None
+    scoring_rows = lin.where("stage = 'scoring'").collect()
+    assert scoring_rows and sum(r["row_count"] for r in scoring_rows) > 0
+    fanout_rows = lin.where("stage = 'pair_fanout'").collect()
+    assert len(fanout_rows) == 1
+    assert fanout_rows[0]["row_count"] == 0
+
+
 def test_link_end_to_end(spark, pages):
     res = link(pages)
     # every url labeled exactly once
@@ -220,6 +284,42 @@ def test_scored_pairs_real_id_ordering(spark, pages):
     from data_reconciliation_spark.lifecycle import release_cached
 
     release_cached(scored)
+
+
+def test_pair_fanout_collision_telemetry(spark, pages, monkeypatch):
+    """Round-5 verdict #8: the dictionary-id path's collision fan-out is
+    an observed metric, not trusted 2^-64 math.  A clean corpus reports
+    0; a deliberately coarse uid (3-bit hash — every id collides) must
+    report exactly rows_scored - distinct_coarse_hash_pairs."""
+    from data_reconciliation_spark.lifecycle import release_cached
+    from data_reconciliation_spark.operators import blocking, scoring
+
+    scored = scoring.block_score_pipeline(pages)
+    assert scoring.pair_fanout(scored) is None  # not materialized — no obs read
+    n_clean = scored.count()
+    assert n_clean > 0
+    assert scoring.pair_fanout(scored) == 0  # xxhash64: no collisions here
+    release_cached(scored)
+
+    coarse = lambda c: F.pmod(F.xxhash64(c), F.lit(8))  # noqa: E731
+    monkeypatch.setattr(blocking, "dictionary_uid", coarse)
+    fanned = scoring.block_score_pipeline(pages)
+    n_fanned = fanned.count()
+    fanout = scoring.pair_fanout(fanned)
+    assert fanout is not None and fanout > 0
+    # independent recount: candidate pairs live on the coarse-hash
+    # domain, so fan-out == scored rows minus distinct unordered
+    # coarse-hash pairs
+    n_hash_pairs = (
+        fanned.select(
+            F.least(coarse(F.col("url_a")), coarse(F.col("url_b"))).alias("ha"),
+            F.greatest(coarse(F.col("url_a")), coarse(F.col("url_b"))).alias("hb"),
+        )
+        .distinct()
+        .count()
+    )
+    assert fanout == n_fanned - n_hash_pairs
+    release_cached(fanned)
 
 
 def test_closure_conf_isolation(spark):

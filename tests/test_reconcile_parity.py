@@ -213,3 +213,36 @@ def test_unparsable_decimal_is_mismatch(spark):
     # identical strings but unparsable -> still a mismatch, exactly like the
     # reference (float('oops') raises on both sides before equality is seen)
     assert _exc_set(res) == {(2, "v")}
+
+
+def test_metrics_only_matches_default_path(snapshots):
+    """metrics_only (round-5 verdict #5 fast path for A1 consumers):
+    identical scalar metrics with NO persisted cache, and the lazy
+    exceptions stream still yields the same rows (recomputed)."""
+    df_old, df_new = snapshots
+    cfg = {
+        "ignore_nulls": False,
+        "include_missing_records": False,
+        "fields": FIELD_CFG,
+    }
+    full = reconcile(df_old, df_new, ["id"], cfg)
+    fast = reconcile(df_old, df_new, ["id"], cfg, metrics_only=True)
+    assert fast._persisted is None  # nothing cached, nothing to release
+    assert (
+        fast.match_pct,
+        fast.n_both,
+        fast.n_old_only,
+        fast.n_new_only,
+        fast.field_exception_count,
+        fast.per_field_exceptions,
+    ) == (
+        full.match_pct,
+        full.n_both,
+        full.n_old_only,
+        full.n_new_only,
+        full.field_exception_count,
+        full.per_field_exceptions,
+    )
+    assert _exc_set(fast) == _exc_set(full)
+    full.release()
+    fast.release()  # no-op by contract
