@@ -593,11 +593,22 @@ def sync_headline_claims(payload: dict) -> None:
         if payload.get("interleaved") and payload.get("pair_efficiencies")
         else f"median of {n}"
     )
+    # the superseded local[8]->local[32] leg pair stays visible next to
+    # the headline (round-5 verdict #2: the sub-gate 8->32 numbers must
+    # not live only in the history file) whenever the published pair is
+    # a different configuration
+    on_record = (
+        "; the bandwidth-ceiling-bound local[8] -> local[32] pair "
+        "measured 0.743–0.786 and stays on the record in "
+        "`BENCH/scaling_history.jsonl`"
+        if (lo["cores"], hi["cores"]) != (8, 32)
+        else ""
+    )
     row = (
         f"| Scaling efficiency N -> 4N | >= 0.8 | **{eff}** {status} "
         f"({method}; {lo['pairs_per_sec'] / 1000:.1f}k -> "
         f"{hi['pairs_per_sec'] / 1000:.1f}k pairs/sec, "
-        f"local[{lo['cores']}] -> local[{hi['cores']}]) | "
+        f"local[{lo['cores']}] -> local[{hi['cores']}]{on_record}) | "
         "`BENCH/BASELINE.md`, `BENCH/scaling.json` "
         "(row autogenerated by `bench_scaling.py` — do not hand-edit) |"
     )
@@ -646,8 +657,10 @@ def sync_headline_claims(payload: dict) -> None:
             f"{el['pairs_per_sec']:.0f} -> {eh['pairs_per_sec']:.0f} pairs/s "
             f"end-to-end at {el['pages']} pages (local[{el['cores']}] -> "
             f"local[{eh['cores']}]), efficiency {e['scaling_efficiency']} — "
-            "lower than the scoring stage because the closure loop is "
-            "latency-bound (fixed round count, cost independent of cores)"
+            "lower than the scoring stage because link()'s fixed per-pass "
+            "cost (job scheduling across many short jobs + the serial "
+            "driver-finish closure at sandbox edge volumes) does not "
+            "shrink with cores"
             + prov
         )
         s2, k = re.subn(
@@ -659,6 +672,163 @@ def sync_headline_claims(payload: dict) -> None:
         if k != 1:
             raise RuntimeError(f"docs/SCALE.md SCALING-E2E marker not found (matched {k})")
     open(p, "w").write(s2)
+
+
+def render_artifacts(payload: dict, note_arg: str = "") -> None:
+    """Render BENCH/BASELINE.md from a scaling payload and sync every
+    headline claim (root BASELINE.md, docs/SCALE.md) via
+    sync_headline_claims.  Factored out of main() so ``--render-only``
+    can re-render the committed artifact after a template fix without
+    repeating the hour-scale measurement; adds no history row."""
+    import time as _t
+
+    lo, hi = payload["low"], payload["high"]
+    eff = payload["scaling_efficiency"]
+
+    if payload.get("scoring_carried_forward"):
+        _sc_when = (
+            _t.strftime("%Y-%m-%d %H:%M UTC",
+                        _t.gmtime(payload["scoring_measured_ts"]))
+            if payload.get("scoring_measured_ts")
+            else "unknown time (pre-provenance artifact)"
+        )
+        _scoring_prov = (
+            f"\n**Provenance: scoring legs CARRIED FORWARD from the run "
+            f"measured {_sc_when}** (this harness invocation re-ran only "
+            "the informational end-to-end legs with --e2e-only); the "
+            "scoring and e2e numbers on this page come from different "
+            "runs.\n"
+        )
+    else:
+        _scoring_prov = ""
+
+    md = f"""# BENCH/BASELINE — throughput & scaling evidence
+
+North-rule scaling criterion (two cluster sizes, N and 4N executors)
+evidenced per driver instruction by the same job on the same input at two
+parallelism levels in this sandbox (no real cluster available).
+
+Timed job: the candidate-pair SCORING stage — the cascade of native
+hashed-token Jaccard (one array_intersect over precomputed 4-byte token
+hashes, the low word of xxhash64) + SimHash Hamming (bit_count/xor) on
+every pair, plus the
+numpy-vectorized Arrow UDF (Jaro-Winkler on canonical url + title, the
+north-star feature set) whose inputs are NULLED for prefilter-pruned
+pairs — over a WRITTEN parquet candidate-pair table (all caches
+dropped before timing; the candidate table is a written intermediate
+at warehouse scale), i.e. exactly the
+"candidate-pairs-scored/sec" quantity the target names.
+Blocking/materialization is untimed setup (at warehouse scale the
+candidate table is a written intermediate).  Input: deterministic
+synthetic pages (hash-derived from row ids — byte-identical at any
+parallelism), {lo['pages']} pages, 16 variants per entity, ~2 entities
+per host (so same-host cross-entity HARD NEGATIVES flow through the
+prefilter alongside the dense true pairs — realistic corpus shape),
+~20% of entities on one over-cap hot host exercising the star-pairing
+skew guard.  Steady-state timing in a fresh JVM per configuration;
+shuffle partitioning held constant (128) so the only variable is cores.
+Scheduling: {"passes INTERLEAVED across both legs (one low pass, one "
+"high pass, seconds apart per epoch) so machine-epoch drift — turbo "
+"state, background tenants — cancels in the ratio instead of landing "
+"on one leg; the headline efficiency is the median of per-epoch pair "
+"ratios over epochs where BOTH passes are steal-clean (leg-median "
+"efficiency retained in scaling.json for sequential-history "
+"comparability)" if payload.get("interleaved") else
+"one leg after the other (legacy --sequential mode)"}.  Each
+configuration reports the MEDIAN of its steal-clean steady-state
+passes after two untimed warmup passes (per-pass evidence below the
+table).
+{_scoring_prov}
+| config | pages | candidate pairs scored | match verdicts | seconds | pairs/sec |
+|---|---|---|---|---|---|
+| local[{lo['cores']}]  (N)  | {lo['pages']} | {lo['pairs']} | {lo['matches']} | {lo['seconds']} | {lo['pairs_per_sec']} |
+| local[{hi['cores']}] (4N) | {hi['pages']} | {hi['pairs']} | {hi['matches']} | {hi['seconds']} | {hi['pairs_per_sec']} |
+
+Per-pass evidence (sec / pairs-per-sec / machine steal fraction /
+STW-GC ms / pinned-cpuset busy cpu-sec + utilization / kept):
+N = {lo['passes']}, 4N = {hi['passes']}.  Passes polluted by
+hypervisor CPU steal (bursty noisy neighbors on this sandbox VM;
+steal_frac >= 0.02) or by a G1 full-GC storm (STW >= 10% of wall —
+heap-fragmentation bad luck, not throughput; observed once at 54% of
+a pass) are excluded from the median — every exclusion and its
+steal/GC measurements are listed above for audit.  GC-anomaly
+exclusions this run: N leg {lo.get('gc_excluded', 0)}, 4N leg
+{hi.get('gc_excluded', 0)} post-warmup passes — counted because the GC
+gate filters an ENDOGENOUS cost (the workload's own heap behavior,
+unlike steal), so a leg with exclusions on more than half its
+post-warmup passes is marked degraded instead of publishing a
+gate-biased median.  cpu_util near 1.0
+on both legs (tools/diag_scaling_cpu.py) shows the engine keeps every
+pinned core busy; residual pass-to-pass spread tracks busy cpu-seconds
+for identical work, i.e. per-core memory-bandwidth weather from
+co-tenants, which interleaving cancels in the ratio in expectation.
+
+**Scaling efficiency** = **{eff}** (target >= 0.8; {"median of per-epoch "
+f"pair ratios {payload.get('pair_efficiencies')}" if
+payload.get("interleaved") and payload.get("pair_efficiencies") else
+"r_4N / (4 x r_N) from leg medians"}).
+
+Reference baseline: the reference publishes no throughput numbers
+(single-threaded per-row pandas loops, see BASELINE.md); its core is
+O(rows x fields) interpreted Python on one core, so any distributed
+steady-state number above dominates it architecturally.
+"""
+    if "e2e" in payload:
+        e = payload["e2e"]
+        el, eh = e["low"], e["high"]
+        _prov_ts = e.get("measured_ts")
+        _prov_when = (
+            _t.strftime("%Y-%m-%d %H:%M UTC", _t.gmtime(_prov_ts))
+            if _prov_ts
+            else "unknown time (pre-provenance artifact)"
+        )
+        _prov = (
+            f"**Provenance: CARRIED FORWARD from the run measured {_prov_when}** "
+            "(this harness invocation re-ran only the gated scoring legs "
+            "with --skip-e2e); the e2e and scoring numbers on this page "
+            "come from different runs."
+            if e.get("carried_forward")
+            else f"Provenance: measured in THIS harness run ({_prov_when})"
+            + (
+                "; the scoring legs above are carried forward from an "
+                "earlier run (see their provenance stamp)."
+                if payload.get("scoring_carried_forward")
+                else ", alongside the scoring legs above."
+            )
+        )
+        md += f"""
+## Full-pipeline scaling (informational — the gated metric above is the scoring stage per BASELINE.json)
+
+{_prov}
+
+Timed job: `link()` end-to-end per pass — blocking (shingle/band
+shuffle) + cascade scoring + transitive closure + final label join —
+rebuilt from scratch each pass, caches released between passes.  Same
+steal-gated, CPU-pinned harness; {el['pages']} pages.
+
+| config | pages | pairs scored | labeled pages | seconds | pairs/sec (e2e) |
+|---|---|---|---|---|---|
+| local[{el['cores']}]  (N)  | {el['pages']} | {el['pairs']} | {el['labeled_pages']} | {el['seconds']} | {el['pairs_per_sec']} |
+| local[{eh['cores']}] (4N) | {eh['pages']} | {eh['pairs']} | {eh['labeled_pages']} | {eh['seconds']} | {eh['pairs_per_sec']} |
+
+End-to-end scaling efficiency = **{e['scaling_efficiency']}** — diluted
+vs the scoring stage by `link()`'s fixed per-pass cost: driver/job
+scheduling across its many short jobs plus, at sandbox edge volumes,
+the serial driver-finish closure (at warehouse edge volumes the
+closure never fits the driver budget and runs distributed and
+data-bound; docs/SCALE.md §4 quantifies the split).
+Per-pass evidence: N = {el['passes']}, 4N = {eh['passes']}.
+"""
+    note = note_arg or payload.get("note")
+    if note:
+        payload["note"] = note
+        md += f"\n## Configuration rationale\n\n{note}\n"
+        # keep the payload artifact in sync with the prose
+        with open("BENCH/scaling.json", "w") as f:
+            json.dump(payload, f, indent=2)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    sync_headline_claims(payload)
 
 
 def main() -> None:
@@ -682,10 +852,22 @@ def main() -> None:
     ap.add_argument("--note", default="",
                     help="extra markdown appended to BENCH/BASELINE.md "
                          "documenting this configuration's rationale")
+    ap.add_argument("--render-only", action="store_true",
+                    help="re-render BENCH/BASELINE.md and the synced "
+                         "headline claims from the committed "
+                         "BENCH/scaling.json without re-measuring "
+                         "(for template fixes; adds no history row)")
     args = ap.parse_args()
 
     if args.e2e_only and args.skip_e2e:
         raise SystemExit("--e2e-only and --skip-e2e are mutually exclusive")
+
+    if args.render_only:
+        with open("BENCH/scaling.json") as f:
+            payload = json.load(f)
+        render_artifacts(payload, args.note)
+        print(json.dumps(payload))
+        return
 
     ratio = args.high / args.low
     pair_effs: list = []
@@ -860,147 +1042,7 @@ def main() -> None:
             "pages": lo["pages"],
         }) + "\n")
 
-    if payload.get("scoring_carried_forward"):
-        _sc_when = (
-            _t.strftime("%Y-%m-%d %H:%M UTC",
-                        _t.gmtime(payload["scoring_measured_ts"]))
-            if payload.get("scoring_measured_ts")
-            else "unknown time (pre-provenance artifact)"
-        )
-        _scoring_prov = (
-            f"\n**Provenance: scoring legs CARRIED FORWARD from the run "
-            f"measured {_sc_when}** (this harness invocation re-ran only "
-            "the informational end-to-end legs with --e2e-only); the "
-            "scoring and e2e numbers on this page come from different "
-            "runs.\n"
-        )
-    else:
-        _scoring_prov = ""
-
-    md = f"""# BENCH/BASELINE — throughput & scaling evidence
-
-North-rule scaling criterion (two cluster sizes, N and 4N executors)
-evidenced per driver instruction by the same job on the same input at two
-parallelism levels in this sandbox (no real cluster available).
-
-Timed job: the candidate-pair SCORING stage — the cascade of native
-hashed-token Jaccard (one array_intersect over precomputed 4-byte token
-hashes, the low word of xxhash64) + SimHash Hamming (bit_count/xor) on
-every pair, plus the
-numpy-vectorized Arrow UDF (Jaro-Winkler on canonical url + title, the
-north-star feature set) whose inputs are NULLED for prefilter-pruned
-pairs — over a WRITTEN parquet candidate-pair table (all caches
-dropped before timing; the candidate table is a written intermediate
-at warehouse scale), i.e. exactly the
-"candidate-pairs-scored/sec" quantity the target names.
-Blocking/materialization is untimed setup (at warehouse scale the
-candidate table is a written intermediate).  Input: deterministic
-synthetic pages (hash-derived from row ids — byte-identical at any
-parallelism), {lo['pages']} pages, 16 variants per entity, ~2 entities
-per host (so same-host cross-entity HARD NEGATIVES flow through the
-prefilter alongside the dense true pairs — realistic corpus shape),
-~20% of entities on one over-cap hot host exercising the star-pairing
-skew guard.  Steady-state timing in a fresh JVM per configuration;
-shuffle partitioning held constant (128) so the only variable is cores.
-Scheduling: {"passes INTERLEAVED across both legs (one low pass, one "
-"high pass, seconds apart per epoch) so machine-epoch drift — turbo "
-"state, background tenants — cancels in the ratio instead of landing "
-"on one leg; the headline efficiency is the median of per-epoch pair "
-"ratios over epochs where BOTH passes are steal-clean (leg-median "
-"efficiency retained in scaling.json for sequential-history "
-"comparability)" if payload.get("interleaved") else
-"one leg after the other (legacy --sequential mode)"}.  Each
-configuration reports the MEDIAN of its steal-clean steady-state
-passes after two untimed warmup passes (per-pass evidence below the
-table).
-{_scoring_prov}
-| config | pages | candidate pairs scored | match verdicts | seconds | pairs/sec |
-|---|---|---|---|---|---|
-| local[{lo['cores']}]  (N)  | {lo['pages']} | {lo['pairs']} | {lo['matches']} | {lo['seconds']} | {lo['pairs_per_sec']} |
-| local[{hi['cores']}] (4N) | {hi['pages']} | {hi['pairs']} | {hi['matches']} | {hi['seconds']} | {hi['pairs_per_sec']} |
-
-Per-pass evidence (sec / pairs-per-sec / machine steal fraction /
-STW-GC ms / pinned-cpuset busy cpu-sec + utilization / kept):
-N = {lo['passes']}, 4N = {hi['passes']}.  Passes polluted by
-hypervisor CPU steal (bursty noisy neighbors on this sandbox VM;
-steal_frac >= 0.02) or by a G1 full-GC storm (STW >= 10% of wall —
-heap-fragmentation bad luck, not throughput; observed once at 54% of
-a pass) are excluded from the median — every exclusion and its
-steal/GC measurements are listed above for audit.  GC-anomaly
-exclusions this run: N leg {lo.get('gc_excluded', 0)}, 4N leg
-{hi.get('gc_excluded', 0)} post-warmup passes — counted because the GC
-gate filters an ENDOGENOUS cost (the workload's own heap behavior,
-unlike steal), so a leg with exclusions on more than half its
-post-warmup passes is marked degraded instead of publishing a
-gate-biased median.  cpu_util near 1.0
-on both legs (tools/diag_scaling_cpu.py) shows the engine keeps every
-pinned core busy; residual pass-to-pass spread tracks busy cpu-seconds
-for identical work, i.e. per-core memory-bandwidth weather from
-co-tenants, which interleaving cancels in the ratio in expectation.
-
-**Scaling efficiency** = **{eff}** (target >= 0.8; {"median of per-epoch "
-f"pair ratios {payload.get('pair_efficiencies')}" if
-payload.get("interleaved") and payload.get("pair_efficiencies") else
-"r_4N / (4 x r_N) from leg medians"}).
-
-Reference baseline: the reference publishes no throughput numbers
-(single-threaded per-row pandas loops, see BASELINE.md); its core is
-O(rows x fields) interpreted Python on one core, so any distributed
-steady-state number above dominates it architecturally.
-"""
-    if "e2e" in payload:
-        e = payload["e2e"]
-        el, eh = e["low"], e["high"]
-        _prov_ts = e.get("measured_ts")
-        _prov_when = (
-            _t.strftime("%Y-%m-%d %H:%M UTC", _t.gmtime(_prov_ts))
-            if _prov_ts
-            else "unknown time (pre-provenance artifact)"
-        )
-        _prov = (
-            f"**Provenance: CARRIED FORWARD from the run measured {_prov_when}** "
-            "(this harness invocation re-ran only the gated scoring legs "
-            "with --skip-e2e); the e2e and scoring numbers on this page "
-            "come from different runs."
-            if e.get("carried_forward")
-            else f"Provenance: measured in THIS harness run ({_prov_when})"
-            + (
-                "; the scoring legs above are carried forward from an "
-                "earlier run (see their provenance stamp)."
-                if payload.get("scoring_carried_forward")
-                else ", alongside the scoring legs above."
-            )
-        )
-        md += f"""
-## Full-pipeline scaling (informational — the gated metric above is the scoring stage per BASELINE.json)
-
-{_prov}
-
-Timed job: `link()` end-to-end per pass — blocking (shingle/band
-shuffle) + cascade scoring + transitive closure + final label join —
-rebuilt from scratch each pass, caches released between passes.  Same
-steal-gated, CPU-pinned harness; {el['pages']} pages.
-
-| config | pages | pairs scored | labeled pages | seconds | pairs/sec (e2e) |
-|---|---|---|---|---|---|
-| local[{el['cores']}]  (N)  | {el['pages']} | {el['pairs']} | {el['labeled_pages']} | {el['seconds']} | {el['pairs_per_sec']} |
-| local[{eh['cores']}] (4N) | {eh['pages']} | {eh['pairs']} | {eh['labeled_pages']} | {eh['seconds']} | {eh['pairs_per_sec']} |
-
-End-to-end scaling efficiency = **{e['scaling_efficiency']}** — diluted
-vs the scoring stage by the latency-bound closure loop (fixed round
-count; per-round driver/job latency does not shrink with cores).
-Per-pass evidence: N = {el['passes']}, 4N = {eh['passes']}.
-"""
-    note = args.note or payload.get("note")
-    if note:
-        payload["note"] = note
-        md += f"\n## Configuration rationale\n\n{note}\n"
-        # keep the payload artifact in sync with the prose
-        with open("BENCH/scaling.json", "w") as f:
-            json.dump(payload, f, indent=2)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(md)
-    sync_headline_claims(payload)
+    render_artifacts(payload, args.note)
     print(json.dumps(payload))
 
 
