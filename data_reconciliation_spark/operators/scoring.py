@@ -270,11 +270,21 @@ def block_score_pipeline(
     pages: DataFrame,
     blocking_cfg: BlockingConfig | None = None,
     scoring_cfg: ScoringConfig | None = None,
+    collect_fanout: bool = True,
 ) -> DataFrame:
     """blocking -> candidate pairs (with per-page payloads) -> cascade
     scoring.  The per-page payload is computed BEFORE the pair explosion
     so nothing per-page runs per pair, and the payload joined onto pairs
-    carries NO raw text (canon_url, title, token hashes, simhash only)."""
+    carries NO raw text (canon_url, title, token hashes, simhash only).
+
+    ``collect_fanout=False`` skips the two collision-telemetry
+    ``observe()`` nodes: each CollectMetrics is a codegen barrier ON THE
+    PAIR TABLE (every candidate row crosses it twice), and the metric is
+    only ever consumed by callers that persist it to lineage —
+    ``pipeline.link`` passes ``checkpoint is not None``, so a
+    plain/bench invocation no longer pays two barriers for a number
+    nobody reads (round-6 verdict #2/#3: the barriers were the one
+    plausible code cause of the er_pipeline headline regression)."""
     # ONE scan of the raw page table: the prepared projection feeds both
     # blocking (shingles over norm_text — normalized_text is idempotent,
     # so re-normalizing inside with_blocking_keys changes nothing) and
@@ -315,12 +325,14 @@ def block_score_pipeline(
         # observe(); fan-out = post - pre.  Zero extra jobs — consumers
         # read it with ``pair_fanout(scored)`` after materializing, so
         # a real corpus verifies the 2^-64 assumption instead of
-        # trusting it.
+        # trusting it.  Only built when a consumer asked
+        # (``collect_fanout``) — see the docstring.
         from pyspark.sql import Observation
 
-        obs_pre, obs_post = Observation(), Observation()
         cand_deps = cached_deps(cand)  # observe() returns a new object
-        cand = cand.observe(obs_pre, F.count(F.lit(1)).alias("n"))
+        if collect_fanout:
+            obs_pre, obs_post = Observation(), Observation()
+            cand = cand.observe(obs_pre, F.count(F.lit(1)).alias("n"))
         pa = prep.select(
             _blocking.dictionary_uid(F.col("url")).alias("id_a"), *payload("a")
         )
@@ -350,8 +362,11 @@ def block_score_pipeline(
             ],
             *[c for c in pairs.columns if not c.endswith(("_a", "_b"))],
         )
-        pairs = pairs.observe(obs_post, F.count(F.lit(1)).alias("n"))
-        fanout_obs = (obs_pre, obs_post)
+        if collect_fanout:
+            pairs = pairs.observe(obs_post, F.count(F.lit(1)).alias("n"))
+            fanout_obs = (obs_pre, obs_post)
+        else:
+            fanout_obs = None
     else:
         cand_deps = cached_deps(cand)
         fanout_obs = None
@@ -360,10 +375,26 @@ def block_score_pipeline(
             .join(prep.select(*payload("a")), "url_a")
             .join(prep.select(*payload("b")), "url_b")
         )
+    # Drop the per-side scoring INPUTS (token-hash arrays, canonical
+    # urls, titles, simhashes) once the features are computed: they are
+    # the fat majority of the pair row (~2x40 int hashes + 2 urls + 2
+    # titles ≈ 450 B vs ~120 B of ids+features), and the caller persists
+    # / shuffles / counts this table — halving the row halves the cache
+    # write and every downstream scan (guide §2.3 "shuffle fewer
+    # bytes"; same reasoning as prepare_pages dropping raw text).  The
+    # features themselves (token_jaccard, simhash_hamming, url_jw,
+    # title_jw, score, is_match) plus real ids and block_key all stay.
+    scored = score_pairs(pairs, scoring_cfg).drop(
+        "tok_hashes_a", "tok_hashes_b",
+        "canon_url_a", "canon_url_b",
+        "title_a", "title_b",
+        "simhash_a", "simhash_b",
+        "norm_text_a", "norm_text_b",
+    )
     # the prep cache plus the block-table cache candidate_pairs
     # registered are handed to the caller for release (lifecycle
     # contract); link() folds them into LinkResult.release()
-    scored = register_cached(score_pairs(pairs, scoring_cfg), prep, *cand_deps)
+    scored = register_cached(scored, prep, *cand_deps)
     if fanout_obs is not None:
         scored._pair_fanout_obs = fanout_obs
     return scored
@@ -377,28 +408,55 @@ def pair_fanout(scored: DataFrame) -> int | None:
     corpus; > 0 counts the extra scored rows collisions fanned out.
 
     Returns None when ``scored`` carries no observations (string-id
-    path, or a DataFrame derived from the registered one) OR when the
-    plan has not been materialized yet — read via the non-blocking
-    ``getOrEmpty`` (the blocking ``Observation.get`` would deadlock a
-    caller that forgot to run an action first)."""
+    path, ``collect_fanout=False``, or a DataFrame derived from the
+    registered one) OR when the plan has not been materialized yet —
+    read via the non-blocking ``getOrEmpty`` (the blocking
+    ``Observation.get`` would deadlock a caller that forgot to run an
+    action first).
+
+    A changed PySpark internal shape (no ``_jo`` handle on a classic
+    Observation, or an unexpected JVM error) raises RuntimeError
+    instead of returning None: a silent None reads as "telemetry off"
+    and would mask a real collision (round-6 verdict #4 / ADVICE)."""
     obs = getattr(scored, "_pair_fanout_obs", None)
     if obs is None:
         return None
 
-    def _val(o):
-        jo = getattr(o, "_jo", None)
-        if jo is None:
-            return None
-        try:
-            m = jo.getOrEmpty()
-        except Exception:
-            # pre-action the metrics row is null and getOrEmpty NPEs on
-            # its schema — same meaning as empty: not materialized yet
-            return None
-        return None if m.isEmpty() else int(m.apply("n"))
-
     pre, post = obs
-    pre_n, post_n = _val(pre), _val(post)
+    pre_n, post_n = _observation_count(pre), _observation_count(post)
     if pre_n is None or post_n is None:
         return None
     return post_n - pre_n
+
+
+def _observation_count(o) -> int | None:
+    """The ``n`` metric of one attached Observation, or None if the
+    observed plan has not run an action yet.  Version-guarded access to
+    the JVM handle: PySpark's classic ``Observation`` stores it as
+    ``_jo`` (None until ``df.observe`` attaches it); if the attribute
+    itself is gone (internals changed, or a Connect Observation slipped
+    in) this fails LOUDLY rather than silently disabling telemetry."""
+    if not hasattr(o, "_jo"):
+        raise RuntimeError(
+            "pair_fanout: Observation has no _jo JVM handle — PySpark "
+            f"internals changed (type {type(o).__module__}.{type(o).__name__}); "
+            "update _observation_count for this version"
+        )
+    jo = o._jo
+    if jo is None:
+        # constructed but never attached via df.observe — caller bug
+        raise RuntimeError(
+            "pair_fanout: Observation was never attached to a DataFrame"
+        )
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        m = jo.getOrEmpty()
+    except Py4JJavaError as exc:
+        # pre-action the metrics row is null and getOrEmpty NPEs on its
+        # schema — same meaning as empty: not materialized yet.  Any
+        # OTHER JVM error is a real failure and must surface.
+        if "NullPointerException" in str(exc.java_exception):
+            return None
+        raise
+    return None if m.isEmpty() else int(m.apply("n"))

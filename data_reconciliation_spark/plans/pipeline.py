@@ -56,9 +56,12 @@ def link(
     # scored pairs feed (a) the match-edge extraction consumed by every
     # closure round and (b) downstream metrics/consumers — materialize
     # once (at warehouse scale: written as the candidate-pair table).
-    scored = block_score_pipeline(pages, blocking_cfg, scoring_cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Collision-telemetry observes are built only when a checkpoint
+    # manager will persist them to lineage: they are codegen barriers
+    # on the pair table, and without a manager nobody reads the metric.
+    scored = block_score_pipeline(
+        pages, blocking_cfg, scoring_cfg, collect_fanout=checkpoint is not None
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     matches = scored.where(F.col("is_match")).select("url_a", "url_b", "score")
 
     if checkpoint is not None:

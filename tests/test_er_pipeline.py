@@ -357,3 +357,71 @@ def test_parse_partitions_auto_fallback(spark):
     assert _parse_partitions(spark) == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_fanout_observes_gated_off_without_consumer(spark, pages):
+    """collect_fanout=False (what link() passes when no checkpoint
+    manager will persist the metric) must leave ZERO CollectMetrics
+    barriers in the pair plan — the round-6 telemetry cost two codegen
+    barriers on every candidate row even when nobody read the number."""
+    from data_reconciliation_spark.lifecycle import release_cached
+    from data_reconciliation_spark.operators import scoring
+
+    scored = scoring.block_score_pipeline(pages, collect_fanout=False)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "CollectMetrics" not in plan, plan
+    assert scoring.pair_fanout(scored) is None
+    release_cached(scored)
+
+    # link() without a checkpoint manager takes the gated path
+    res = link(pages)
+    plan = res.scored_pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CollectMetrics" not in plan, plan
+    res.clusters.count()
+    res.release()
+
+
+def test_scored_pairs_drop_scoring_inputs(spark, pages):
+    """The scored table the caller persists must not carry the fat
+    per-side scoring inputs (token-hash arrays, canon urls, titles,
+    simhashes) — features + ids only (cache/shuffle width, guide §2.3)."""
+    from data_reconciliation_spark.lifecycle import release_cached
+    from data_reconciliation_spark.operators import scoring
+
+    scored = scoring.block_score_pipeline(pages, collect_fanout=False)
+    cols = set(scored.columns)
+    for c in ("tok_hashes_a", "tok_hashes_b", "canon_url_a", "canon_url_b",
+              "title_a", "title_b", "simhash_a", "simhash_b"):
+        assert c not in cols, c
+    for c in ("url_a", "url_b", "token_jaccard", "simhash_hamming",
+              "url_jw", "title_jw", "score", "is_match"):
+        assert c in cols, c
+    release_cached(scored)
+
+
+def test_observation_count_failure_modes(spark):
+    """_observation_count must distinguish 'not materialized' (None)
+    from 'API shape changed' (loud RuntimeError) — a silent None reads
+    as telemetry-off and would mask a real collision (round-6 #4)."""
+    from pyspark.sql import Observation
+
+    from data_reconciliation_spark.operators.scoring import _observation_count
+
+    # attached but no action yet -> None (not materialized)
+    df = spark.range(5)
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    assert _observation_count(obs) is None
+    observed.count()
+    assert _observation_count(obs) == 5
+
+    # never attached -> loud
+    with pytest.raises(RuntimeError, match="never attached"):
+        _observation_count(Observation())
+
+    # internals changed (no _jo attribute at all) -> loud
+    class NotAnObservation:
+        pass
+
+    with pytest.raises(RuntimeError, match="internals changed"):
+        _observation_count(NotAnObservation())
