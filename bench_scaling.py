@@ -574,12 +574,21 @@ def sync_headline_claims(payload: dict) -> None:
     n = payload["samples_per_config"]
     status = "PASS" if eff >= 0.8 else "FAIL"
     if lo.get("degraded") or hi.get("degraded"):
-        # >=1 leg could not collect its full clean-sample quota inside
-        # the attempt cap (sustained hypervisor steal): its median is
-        # not comparable to a clean leg, so no PASS/FAIL verdict is
-        # published from this run — the per-run history carries the
-        # clean measurements
-        status = ("INCONCLUSIVE (degraded leg: sustained steal — see "
+        # >=1 leg could not publish a comparable clean median, either
+        # from sustained hypervisor steal (clean-sample quota missed
+        # inside the attempt cap) or from the GC-anomaly gate excluding
+        # most of its passes: no PASS/FAIL verdict is published from
+        # this run — the per-run history carries the clean
+        # measurements.  The reason names the gate that actually fired
+        # (round-6 ADVICE: a gc_degraded leg was previously rendered
+        # as a steal exclusion).
+        reason = (
+            "GC-anomaly exclusions on most passes"
+            if (lo.get("gc_degraded") or hi.get("gc_degraded"))
+            and not (lo.get("steal_polluted") or hi.get("steal_polluted"))
+            else "sustained steal"
+        )
+        status = (f"INCONCLUSIVE (degraded leg: {reason} — see "
                   "BENCH/scaling_history.jsonl for clean runs)")
     if lo.get("steal_polluted") or hi.get("steal_polluted"):
         # no steal-clean pass was obtained on >=1 leg: the number is a
@@ -596,14 +605,38 @@ def sync_headline_claims(payload: dict) -> None:
     # the superseded local[8]->local[32] leg pair stays visible next to
     # the headline (round-5 verdict #2: the sub-gate 8->32 numbers must
     # not live only in the history file) whenever the published pair is
-    # a different configuration
-    on_record = (
-        "; the bandwidth-ceiling-bound local[8] -> local[32] pair "
-        "measured 0.743–0.786 and stays on the record in "
-        "`BENCH/scaling_history.jsonl`"
-        if (lo["cores"], hi["cores"]) != (8, 32)
-        else ""
-    )
+    # a different configuration.  The quoted range is DERIVED from the
+    # history rows at render time (round-6 ADVICE: a literal range in
+    # code goes stale the moment a new 8->32 run lands).
+    on_record = ""
+    if (lo["cores"], hi["cores"]) != (8, 32):
+        effs_8_32 = []
+        try:
+            with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH", "scaling_history.jsonl")) as f:
+                for line in f:
+                    row = json.loads(line)
+                    # rows before round 6 carried no low_cores field and
+                    # are all 8->32 by construction; only interleaved
+                    # runs are quoted (sequential legs sample different
+                    # machine epochs and their ratios are not
+                    # comparable — the reason interleaving exists)
+                    if (row.get("low_cores", 8), row.get("high_cores", 32)) \
+                            == (8, 32) and row.get("interleaved") \
+                            and not row.get("steal_polluted"):
+                        effs_8_32.append(row["scoring_efficiency"])
+        except OSError:
+            pass
+        if effs_8_32:
+            span = (f"{min(effs_8_32)}–{max(effs_8_32)}"
+                    if min(effs_8_32) != max(effs_8_32)
+                    else f"{effs_8_32[0]}")
+            on_record = (
+                f"; the bandwidth-ceiling-bound local[8] -> local[32] pair "
+                f"measured {span} and stays on the record in "
+                "`BENCH/scaling_history.jsonl`"
+            )
     row = (
         f"| Scaling efficiency N -> 4N | >= 0.8 | **{eff}** {status} "
         f"({method}; {lo['pairs_per_sec'] / 1000:.1f}k -> "

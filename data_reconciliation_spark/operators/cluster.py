@@ -21,9 +21,11 @@ Design notes for 10^12-node scale:
 * Convergence is detected by an exact changed-edge count
   (anti-join of consecutive edge sets), one cheap job per round.
 * **Hybrid finish**: once the edge set fits a bounded driver budget
-  (default 2M edges AND 128 MB of raw id bytes — per-edge size is
-  MEASURED by the round's observe() for variable-width ids, 16 B fixed
-  for numeric), the remaining closure runs as a
+  (default 2M edges AND 288 MB of priced DRIVER-HEAP bytes — per-edge
+  raw size is MEASURED by the round's observe() for variable-width ids
+  and derated by the ~56 B/id Python-object overhead the toPandas
+  boundary actually pays, 16 B fixed for numeric), the remaining
+  closure runs as a
   numpy scatter-min + pointer-doubling union-find on the driver — the
   standard "finish locally when the contracted graph fits" step of
   MapReduce CC algorithms (Kiveris et al. §6 use the same hybrid).
@@ -173,7 +175,14 @@ def _local_union_find(e: DataFrame) -> DataFrame:
     ea, eb = codes[: len(pdf)], codes[len(pdf):]
     parent = np.arange(len(nodes), dtype=np.int64)
     while True:
-        before = parent
+        # snapshot by COPY: minimum.at mutates `parent` in place, so an
+        # aliased `before` would track the mutations and the convergence
+        # test would compare the array with itself — exiting after any
+        # edge pass whose result happens to be pointer-doubled-stable,
+        # even when the next edge pass would still propagate minima
+        # (observed: an unpadded-string chain, whose lexicographic rank
+        # order is non-monotone along the chain, split into 2 components)
+        before = parent.copy()
         m = np.minimum(parent[ea], parent[eb])
         np.minimum.at(parent, ea, m)
         np.minimum.at(parent, eb, m)
@@ -201,7 +210,7 @@ def connected_components(
     max_iter: int = 30,
     checkpoint: CheckpointManager | None = None,
     local_finish_threshold: int = 2_000_000,
-    local_finish_mb: int = 128,
+    local_finish_mb: int = 288,
     assume_distinct: bool = False,
     on_round=None,
 ) -> DataFrame:
@@ -214,17 +223,23 @@ def connected_components(
     round instead of iteration 0.
 
     ``local_finish_threshold`` bounds the driver-side finish in EDGES
-    (0 disables it); ``local_finish_mb`` bounds it in raw id BYTES.
-    For variable-width (non-numeric) ids the byte bound is the binding
-    one: the per-edge byte size is MEASURED, not guessed — the
-    fingerprint ``observe()`` that materializes each round also records
-    ``avg(len(src)+len(dst))``, so a 1M-edge set of 40-byte urls (80 MB)
-    finishes on the driver while the same count of 1 KB ids does not.
-    (Round 5 scaled the edge threshold by a fixed /8 for any non-numeric
-    type — a 100-byte worst-case guess that forced ~15s of distributed
-    latency-bound rounds on the e2e bench whose real ids are ~45 B.)
-    Distributed rounds run while the edge set exceeds either bound; see
-    the module docstring for why warehouse-scale graphs never fit.
+    (0 disables it); ``local_finish_mb`` bounds it in DRIVER-HEAP bytes
+    at the toPandas boundary.  For variable-width (non-numeric) ids the
+    byte bound is the binding one: the per-edge raw size is MEASURED,
+    not guessed — the fingerprint ``observe()`` that materializes each
+    round also records ``avg(len(src)+len(dst))`` — and then PRICED at
+    driver cost: each id lands as a Python str object (~56 B header
+    beyond its payload), so a 45-B url edge costs ~200 B of heap, not
+    90 B (round-6 ADVICE: pricing raw bytes let "128 MB" admit ~1 GB of
+    heap).  The 288 MB default therefore admits the same ~2M-edge
+    45-B-url graph the edge bound does; peak driver RSS at the boundary
+    runs ~2-3x the priced bytes (factorize/argsort temporaries), so
+    size the driver >= 4 GB when using defaults.  (Round 5 scaled the
+    edge threshold by a fixed /8 for any non-numeric type — a 100-byte
+    worst-case guess that forced ~15s of distributed latency-bound
+    rounds on the e2e bench whose real ids are ~45 B.)  Distributed
+    rounds run while the edge set exceeds either bound; see the module
+    docstring for why warehouse-scale graphs never fit.
 
     ``assume_distinct``: skip the entry ``distinct()`` when the caller
     guarantees unique edges (pipeline.link's match pairs are grouped by
@@ -249,14 +264,24 @@ def connected_components(
     from pyspark.sql.types import NumericType
 
     # fixed-width ids are 16 B/edge; variable-width ids get the measured
-    # per-edge average from each round's observe()
+    # per-edge average from each round's observe(), DERATED by the
+    # driver-side representation cost: _local_union_find holds each id
+    # as a Python str object in pandas (~49 B header + payload, ~56 B
+    # amortized with the object-array slot), so an edge of two 45-B
+    # urls costs ~90 B raw but ~200 B of driver heap at the toPandas
+    # boundary.  Pricing raw bytes alone let 2M-edge url graphs through
+    # a "128 MB" budget that actually cost ~0.5-1 GB of heap (round-6
+    # ADVICE) — an OOM risk on default-sized drivers.
+    _PY_STR_OVERHEAD = 56.0  # bytes per id object on the driver
     numeric_ids = isinstance(e.schema["src"].dataType, NumericType)
     local_finish_bytes = local_finish_mb * (1 << 20)
 
     def _fits_local(n_edges: int, avg_bytes: float | None) -> bool:
         if not (0 < n_edges <= local_finish_threshold):
             return False
-        per_edge = 16.0 if avg_bytes is None else avg_bytes
+        per_edge = (
+            16.0 if avg_bytes is None else avg_bytes + 2 * _PY_STR_OVERHEAD
+        )
         return n_edges * per_edge <= local_finish_bytes
 
     start_iter = 0

@@ -13,9 +13,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_reconciliation_spark.config import BlockingConfig, ScoringConfig
-from data_reconciliation_spark.operators.cluster import connected_components
+from data_reconciliation_spark.operators.cluster import _rebind, connected_components
 from data_reconciliation_spark.operators.scoring import block_score_pipeline
 from data_reconciliation_spark.sources.state import CheckpointManager
+
+# Below this input size the pipeline is LATENCY-bound: its ~30 stage
+# jobs are each well under a second, and AQE's stage-by-stage execution
+# (materialize every shuffle, re-plan, schedule the next stage as a new
+# job) dominates wall time over the actual compute — measured 38.5s ->
+# 23.9s per 100k-page pass at local[16] with AQE off, steal < 0.002
+# (tools/e2e_variant_probe.py).  At warehouse volumes (> ~2M pages) the
+# stages run for minutes and AQE's runtime coalescing / skew splitting
+# is worth far more than its planning overhead, so the caller's AQE
+# setting stays in force — same crossover logic, same threshold order,
+# as the closure loop's LATENCY_REGIME_EDGES (operators/cluster.py).
+LATENCY_REGIME_PAGES = 2_000_000
 
 
 @dataclass
@@ -44,14 +56,46 @@ def link(
     scoring_cfg: ScoringConfig | None = None,
     checkpoint: CheckpointManager | None = None,
     max_iter: int = 30,
+    latency_regime: bool | None = None,
 ) -> LinkResult:
     """Resolve a page table into entity clusters.
 
     The scored-pair table is persisted (storage-level memory+disk) because
     it feeds both the match-edge extraction and downstream metrics; the
     closure loop itself checkpoints per round when a manager is given.
+
+    ``latency_regime``: None (default) auto-detects by row count —
+    inputs at or under :data:`LATENCY_REGIME_PAGES` plan the whole
+    pipeline with AQE off inside a CLONED session (``newSession`` —
+    own SQLConf, shared SparkContext and cache manager), because at
+    that size per-stage planning/scheduling dominates wall time; the
+    caller's session conf is never touched, and every returned
+    DataFrame is re-bound to the caller's session so downstream
+    composition plans under the caller's conf (the same isolation
+    discipline as the closure loop's regime tuning).  Pass True/False
+    to skip the auto-detect count (it is one cheap job on a cached or
+    parquet input, but a caller whose ``pages`` is an expensive
+    uncached computation should decide explicitly).
     """
     from pyspark.storagelevel import StorageLevel
+
+    caller = pages.sparkSession
+    if latency_regime is None:
+        latency_regime = pages.count() <= LATENCY_REGIME_PAGES
+    caller_aqe = caller.conf.get("spark.sql.adaptive.enabled", "true")
+    if latency_regime and caller_aqe == "true":
+        iso = caller.newSession()
+        # runtime conf.set() values do not propagate through newSession;
+        # pin the two planning knobs the pipeline depends on (same keys
+        # the closure loop copies)
+        iso.conf.set(
+            "spark.sql.shuffle.partitions",
+            caller.conf.get("spark.sql.shuffle.partitions", "200"),
+        )
+        iso.conf.set("spark.sql.adaptive.enabled", "false")
+        pages = _rebind(pages, iso)
+    else:
+        iso = caller
 
     # scored pairs feed (a) the match-edge extraction consumed by every
     # closure round and (b) downstream metrics/consumers — materialize
@@ -115,4 +159,18 @@ def link(
             F.coalesce(F.col("component"), F.col("url")).alias("entity"),
         )
     )
+    if iso is not caller:
+        # hand results back bound to the CALLER's session: the cache
+        # manager is shared state, so the rebound scored still hits the
+        # persisted blocks (and unpersist via release() still frees
+        # them); the lifecycle/telemetry attributes live on the object
+        # and must be carried over.
+        from data_reconciliation_spark.lifecycle import cached_deps, register_cached
+
+        rebound = register_cached(_rebind(scored, caller), *cached_deps(scored))
+        if hasattr(scored, "_pair_fanout_obs"):
+            rebound._pair_fanout_obs = scored._pair_fanout_obs
+        scored = rebound
+        matches = _rebind(matches, caller)
+        clusters = _rebind(clusters, caller)
     return LinkResult(scored_pairs=scored, matches=matches, clusters=clusters)

@@ -103,9 +103,18 @@ class CheckpointManager:
     """
 
     def __init__(self, spark: SparkSession, root: str, keep_history: bool = True):
+        import threading
+
         self.spark = spark
         self.root = root
         self.keep_history = keep_history
+        # serializes appends into the lineage directory: the streaming
+        # SessionMetricsAuditListener appends from the listener-bus
+        # thread while the driver thread may be appending
+        # closure/scoring rows, and two concurrent FileOutputCommitter
+        # jobs on one directory can race in _temporary/ and drop rows
+        # (round-6 ADVICE)
+        self._lineage_lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
         os.makedirs(self._lineage_dir, exist_ok=True)
 
@@ -132,7 +141,8 @@ class CheckpointManager:
             .withColumn("stage", F.lit(stage))
             .withColumn("saved_at", F.current_timestamp())
         )
-        metrics.write.mode("append").parquet(self._lineage_dir)
+        with self._lineage_lock:
+            metrics.write.mode("append").parquet(self._lineage_dir)
 
         manifest = {
             "iteration": iteration,
@@ -146,8 +156,10 @@ class CheckpointManager:
 
     def write_lineage(self, metrics: DataFrame) -> None:
         """Append caller-supplied per-partition lineage rows (e.g. the
-        scoring-stage metrics pipeline.link records)."""
-        metrics.write.mode("append").parquet(self._lineage_dir)
+        scoring-stage metrics pipeline.link records).  Thread-safe: the
+        streaming audit listener appends from the listener-bus thread."""
+        with self._lineage_lock:
+            metrics.write.mode("append").parquet(self._lineage_dir)
 
     def latest(self) -> tuple[int, DataFrame] | None:
         """(iteration, DataFrame) of the newest committed checkpoint."""

@@ -425,3 +425,48 @@ def test_observation_count_failure_modes(spark):
 
     with pytest.raises(RuntimeError, match="internals changed"):
         _observation_count(NotAnObservation())
+
+
+def test_link_latency_regime_conf_isolation(spark, pages):
+    """link()'s latency-regime AQE tuning must run in a cloned session:
+    the caller's conf is untouched and every returned DataFrame is
+    re-bound to the caller's session (same discipline as the closure
+    loop's regime tuning)."""
+    before = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    res = link(pages)  # 600 pages -> latency regime
+    assert res.scored_pairs.sparkSession is spark
+    assert res.matches.sparkSession is spark
+    assert res.clusters.sparkSession is spark
+    assert res.scored_pairs.count() > 0
+    assert res.clusters.count() == pages.count()
+    # the regime planned without AQE: no AdaptiveSparkPlan node
+    plan = res.scored_pairs._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" not in plan, plan[:500]
+    res.release()
+    assert {k: spark.conf.get(k) for k in before} == before
+
+
+def test_local_union_find_nonmonotone_rank_chain(spark):
+    """Regression: a chain whose LEXICOGRAPHIC id order is non-monotone
+    along the chain (unpadded numbers: 'n10' < 'n2') must still close
+    into ONE component.  The driver finish's convergence check used an
+    aliased snapshot that np.minimum.at mutated in place, so the loop
+    could exit one edge pass early and split the chain (round-7 find;
+    every earlier fixture used zero-padded ids whose rank order is
+    monotone, hiding it)."""
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(50)], "src string, dst string"
+    )
+    out = connected_components(df).collect()
+    comps = {r["component"] for r in out}
+    assert comps == {"n0"}, comps
+    assert len(out) == 51
+    # same graph through the fully distributed loop agrees
+    dist = connected_components(df, local_finish_threshold=0).collect()
+    assert {r["component"] for r in dist} == {"n0"}
+    assert sorted((r["node"], r["component"]) for r in out) == sorted(
+        (r["node"], r["component"]) for r in dist
+    )
