@@ -43,7 +43,14 @@ def token_shingles(text: Column | str, k: int = 3) -> Column:
     would re-run the regex once per shingle (measured 7x slower on the
     sf0.1 documents table)."""
     text = F.col(text) if isinstance(text, str) else text
-    toks = F.split(normalized_text(text), " ")
+    return token_shingles_from(F.split(normalized_text(text), " "), k)
+
+
+def token_shingles_from(toks: Column, k: int = 3) -> Column:
+    """:func:`token_shingles` over an already-tokenized array column —
+    lets a caller that needs the token array for something else too
+    (e.g. the verify stage's distinct-token hashes) split the text
+    exactly once per document."""
 
     def shingle(tk: Column) -> Column:
         n = F.size(tk)
@@ -247,6 +254,21 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
             F.xxhash64(F.slice(signature, b * rows_per_band + 1, rows_per_band), b).cast(
                 "string"
             ),
+        ),
+    )
+
+
+def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """array<bigint> LSH band keys: ``xxhash64(band_slice, band_index)``
+    per band — the numeric twin of :func:`band_keys` for consumers that
+    only equi-join on the key (minhash_lsh_pairs).  Folding the band
+    index into the hash arguments keeps different bands collision-free
+    without the string concat + re-hash the string form pays; the self-
+    join then shuffles an 8-byte long instead of a ~25-byte string."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.slice(signature, b * rows_per_band + 1, rows_per_band), b
         ),
     )
 

@@ -169,6 +169,7 @@ def minhash_lsh_pairs(
     verify_threshold: float | None = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    latency_regime: bool | None = None,
 ) -> DataFrame:
     """Scale-path near-dup: shingle -> MinHash -> band -> bucket equi-join.
 
@@ -176,51 +177,78 @@ def minhash_lsh_pairs(
     filters by true token-set Jaccard (native array expressions).  The
     only shuffles are the band-key self-join and the pair dedup groupBy.
 
-    The caller releases the internal band-key cache with
+    One pass over the corpus computes EVERYTHING per-document — token
+    array (one regex split), distinct token hashes for the verify stage,
+    MinHash signature, band hashes — cached as a single per-doc table;
+    the band table and both verify sides are cheap projections of that
+    cache, so the text is scanned and tokenized exactly once (the
+    previous shape re-scanned + re-tokenized the corpus twice more for
+    the verify joins).
+
+    The caller releases the internal per-doc cache with
     ``lifecycle.release_cached(result)`` after materializing.
+
+    (``latency_regime`` is accepted for API symmetry with link()/the
+    closure but currently ignored: A/B at bench scale measured the
+    AQE-off cloned-session variant within noise of the default — this
+    operator has ~4 shuffle stages, not the ~30 of the full pipeline,
+    so per-stage AQE re-planning never dominates it.)
     """
     cfg = cfg or BlockingConfig()
-    # signature materialized as its own projection so band_keys slices a
-    # computed array instead of re-running the fold per band (see
-    # blocking.with_blocking_keys).
-    from data_reconciliation_spark.operators.blocking import attach_minhash_signature
 
+    from data_reconciliation_spark.operators.blocking import (
+        attach_minhash_signature,
+        band_hashes,
+        token_shingles_from,
+    )
+
+    # ONE tokenization pass: the token array is materialized as its own
+    # projection and feeds both the shingle/signature path and the
+    # verify stage's distinct-token hashes.
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    extra = []
+    if verify_threshold is not None:
+        # distinct 8-byte token hashes — value-identical jaccard to
+        # hashing the raw \s+-split tokens (same token set; xxhash64
+        # collisions ~2^-64 per token pair, far below any threshold)
+        extra.append(
+            F.array_distinct(
+                F.transform(F.col("__toks"), lambda t: F.xxhash64(t))
+            ).alias("__th")
+        )
+    shingles = token_shingles_from(F.col("__toks"), cfg.shingle_size)
     if cfg.minhash_kernel == "arrow":
         # Arrow kernel with the double Generate-barrier plan shape (see
-        # blocking.attach_minhash_signature for the rationale)
+        # blocking.attach_minhash_signature for the rationale); the
+        # extra __th column rides through as a plain attribute (never
+        # crosses into Python — ArrowEvalPython ships UDF inputs only).
         sig = attach_minhash_signature(
-            docs.select(F.col(id_col), F.col(text_col)),
-            token_shingles(F.col(text_col), cfg.shingle_size),
+            base.select(F.col(id_col), *extra, F.col("__toks")),
+            shingles,
             "__sig",
             cfg.num_hashes,
-        ).select(F.col(id_col), F.col("__sig"))
+        )
     else:
-        sig = docs.select(
+        sig = base.select(
             F.col(id_col),
-            minhash_signature(
-                token_shingles(F.col(text_col), cfg.shingle_size), cfg.num_hashes
-            ).alias("__sig"),
+            *extra,
+            minhash_signature(shingles, cfg.num_hashes).alias("__sig"),
         )
     from pyspark.storagelevel import StorageLevel
 
-    # The band explosion (bands x rows) is the widest shuffle in the
-    # operator: it carries ONLY (8-byte band hash, id) — never the text.
-    # Text is re-joined from ``docs`` for the verify stage, which sees
-    # just the (much smaller) deduplicated candidate-pair set.
-    keyed = (
-        sig.select(
-            F.col(id_col),
-            F.explode(band_keys(F.col("__sig"), cfg.bands, cfg.rows_per_band)).alias(
-                "__bk"
-            ),
-        )
-        .select(F.col(id_col), F.xxhash64("__bk").alias("band_key"))
-        # materialized once: both self-join sides consume it, and the
-        # signature fold must not run twice per document; registered on
-        # the result — caller releases via lifecycle.release_cached
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # Single per-doc cache: (id[, token hashes], band hashes).  The band
+    # explosion below carries ONLY (8-byte band hash, id) into the self-
+    # join shuffle — never the text.
+    per_doc = sig.select(
+        F.col(id_col),
+        *([F.col("__th")] if verify_threshold is not None else []),
+        band_hashes(F.col("__sig"), cfg.bands, cfg.rows_per_band).alias("__bks"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = per_doc.select(
+        F.col(id_col), F.explode("__bks").alias("band_key")
     )
-    keyed_cache = keyed
+    keyed_cache = per_doc
     # Hot-bucket guard (same pattern as blocking.candidate_pairs): a
     # degenerate band key (e.g. every near-empty doc sharing one band)
     # would be an unguarded O(n^2) self-join partition.  Oversized
@@ -264,20 +292,17 @@ def minhash_lsh_pairs(
         pairs = pairs.unionByName(star_pairs)
     pairs = pairs.distinct()
     if verify_threshold is not None:
-        # verify on HASHED distinct-token arrays: tokenization +
-        # dedup run once per DOCUMENT (not per pair), the per-pair work
-        # is one array_intersect over 8-byte hashes, and |union| is
-        # size arithmetic — no union array, no per-pair regex split.
-        # Values are identical to exact string-token Jaccard except for
-        # xxhash64 collisions (~2^-64 per token pair), far below any
-        # threshold granularity, so the driver's SQL oracle (exact
-        # string jaccard) still matches bit-for-bit.
-        tok = F.transform(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")),
-            lambda t: F.xxhash64(t),
-        )
-        ta = docs.select(F.col(id_col).alias("id_a"), tok.alias("__th_a"))
-        tb = docs.select(F.col(id_col).alias("id_b"), tok.alias("__th_b"))
+        # verify on the HASHED distinct-token arrays from the per-doc
+        # cache: tokenization + dedup ran once per DOCUMENT in the same
+        # pass that built the signature (no extra corpus scans), the
+        # per-pair work is one array_intersect over 8-byte hashes, and
+        # |union| is size arithmetic — no union array, no per-pair regex
+        # split.  Values are identical to exact string-token Jaccard
+        # except for xxhash64 collisions (~2^-64 per token pair), far
+        # below any threshold granularity, so the driver's SQL oracle
+        # (exact string jaccard) still matches bit-for-bit.
+        ta = per_doc.select(F.col(id_col).alias("id_a"), F.col("__th").alias("__th_a"))
+        tb = per_doc.select(F.col(id_col).alias("id_b"), F.col("__th").alias("__th_b"))
 
         def _jac(i):
             union = F.size("__th_a") + F.size("__th_b") - i

@@ -803,7 +803,11 @@ def q_cluster_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("n%09d", F.col("event_id")).alias("src"),
         F.format_string("n%09d", F.col("event_id") - 1).alias("dst"),
     )
-    comp = connected_components(edges)
+    # event_id is unique per row, so each edge appears exactly once:
+    # assume_distinct skips the closure's entry distinct() — one full
+    # edge shuffle saved (same contract pipeline.link uses; results
+    # identical, oracle-verified)
+    comp = connected_components(edges, assume_distinct=True)
     return comp.select(F.col("node"), F.col("component"))
 
 
