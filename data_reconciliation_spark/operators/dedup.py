@@ -163,6 +163,45 @@ def ngram_jaccard_pairs(
     return register_cached(out, base_cache)
 
 
+def _widen_for_kernel(df: DataFrame, bytes_per_task: int = 64 << 10) -> DataFrame:
+    """Widen scan parallelism for a per-row compute-heavy signature pass
+    when the input arrives in fewer splits than the kernel cost wants.
+
+    Parquet splits at ``maxPartitionBytes`` (128 MB) size tasks for I/O,
+    not for compute: the md5-SimHash / MinHash kernels cost ~1-2 us per
+    input BYTE (measured: ~1.0 s per 600 KB single-split corpus), so a
+    single 128 MB split would serialize ~3-4 min of hashing onto one
+    core.  Target task size = ``bytes_per_task`` (64 KB ~= 100 ms of
+    kernel work), capped at the cluster parallelism; never shrinks an
+    input that already has enough splits, and derived (non-file-backed)
+    inputs are left untouched.  At warehouse scale inputs arrive in
+    thousands of splits >= core count, so this is a no-op there; A/B at
+    sf0.1 local[32]: simhash sig build 0.99-1.23 s serial -> 0.64-0.85 s
+    at the 8-way layout this picks (32-way measured WORSE — task launch
+    + Python worker spawn dominate 600 KB of work).
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) > 64:
+        return df
+    import os as _os
+
+    total = 0
+    for f in files:
+        p = f[5:] if f.startswith("file:") else f
+        try:
+            total += _os.stat(p).st_size
+        except OSError:
+            return df
+    sc = df.sparkSession.sparkContext
+    want = min(sc.defaultParallelism, max(1, total // bytes_per_task))
+    if want > df.rdd.getNumPartitions():
+        df = df.repartition(want)
+    return df
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     cfg: BlockingConfig | None = None,
@@ -195,6 +234,7 @@ def minhash_lsh_pairs(
     so per-stage AQE re-planning never dominates it.)
     """
     cfg = cfg or BlockingConfig()
+    docs = _widen_for_kernel(docs)
 
     from data_reconciliation_spark.operators.blocking import (
         attach_minhash_signature,
@@ -366,6 +406,7 @@ def simhash_pairs(
         raise ValueError("n_chunks must divide 64")
     bits = 64 // n_chunks
     mask = (1 << bits) - 1
+    docs = _widen_for_kernel(docs)
     from pyspark.storagelevel import StorageLevel
 
     # persist: the chunk table feeds both self-join sides; the per-doc

@@ -172,6 +172,7 @@ def reconcile(
     cfg: ReconConfig | dict | None = None,
     eager_metrics: bool = True,
     metrics_only: bool = False,
+    unique_pk: bool = False,
 ) -> ReconcileResult:
     """Compare two snapshots on ``pk_cols`` under ``cfg`` rules.
 
@@ -197,6 +198,19 @@ def reconcile(
     ``exceptions`` remains usable but RECOMPUTES the join if consumed —
     callers that want both the metrics and the exception stream should
     keep the default, whose single cached join feeds both.
+
+    ``unique_pk=True`` asserts that ``pk_cols`` uniquely identify a row
+    in BOTH snapshots (the normal reconciliation contract; the reference
+    pandas merge would row-multiply on duplicates exactly like the
+    join).  With ``metrics_only`` it enables the union-aggregate metrics
+    plan: both sides are tagged and unioned, merged per key by one hash
+    aggregation, and reduced to the scalars — ONE exchange and no sorts,
+    versus the full-outer sort-merge join's two exchanges + two sorts
+    (measured at sf0.1 local[32]: 0.97-1.27 s -> 0.62-0.70 s warm,
+    3.7 -> 1.2 s first invocation — the simpler plan also compiles
+    less codegen).  Under duplicate keys the two plans genuinely differ
+    (merge multiplies rows, the aggregation collapses them), hence the
+    explicit opt-in rather than an auto-detect.
     """
     cfg = cfg if isinstance(cfg, ReconConfig) else ReconConfig.from_dict(cfg)
     compare_cols = [c for c in df_old.columns if c not in pk_cols]
@@ -259,15 +273,74 @@ def reconcile(
 
         # Single aggregation pass computes every count the match formula
         # needs (A1/A2) — one job, map-side partial agg, no collect loops.
-        agg_row = flagged.agg(
-            F.sum(in_both.cast("long")).alias("n_both"),
-            F.sum(old_only.cast("long")).alias("n_old_only"),
-            F.sum(new_only.cast("long")).alias("n_new_only"),
-            *[
-                F.sum((in_both & F.col(flag_names[c])).cast("long")).alias(f"exc_{i}")
-                for i, c in enumerate(active_cols)
-            ],
-        ).collect()[0]
+        if metrics_only and unique_pk and compare_cols:
+            # union-aggregate metrics plan (see docstring): tag + union
+            # both sides, merge per key with one hash aggregation, then
+            # reduce to scalars — one exchange, no sorts.
+            o_t = T.StructType(
+                [T.StructField(c, old_types[c]) for c in compare_cols]
+            )
+            n_t = T.StructType(
+                [T.StructField(c, new_types[c]) for c in compare_cols]
+            )
+            tagged = df_old.select(
+                *pk_cols,
+                F.struct(*compare_cols).alias("__o"),
+                F.lit(None).cast(n_t).alias("__n"),
+            ).unionByName(
+                df_new.select(
+                    *pk_cols,
+                    F.lit(None).cast(o_t).alias("__o"),
+                    F.struct(*compare_cols).alias("__n"),
+                )
+            )
+            # max() skips nulls, so it picks each side's single struct
+            # (unique_pk is exactly the assertion that makes this the
+            # same merged row the full-outer join would produce)
+            per_key = tagged.groupBy(*pk_cols).agg(
+                F.max("__o").alias("__o"),
+                F.max("__n").alias("__n"),
+                F.count("__o").alias("__ho"),
+                F.count("__n").alias("__hn"),
+            )
+            u_both = (F.col("__ho") > 0) & (F.col("__hn") > 0)
+            u_flags = {
+                c: _mismatch_expr(
+                    F.col("__o").getField(c),
+                    F.col("__n").getField(c),
+                    old_types[c],
+                    new_types[c],
+                    cfg.rule(c),
+                    cfg.ignore_nulls,
+                )
+                for c in active_cols
+            }
+            agg_src = per_key.agg(
+                F.sum(u_both.cast("long")).alias("n_both"),
+                F.sum(((F.col("__ho") > 0) & (F.col("__hn") == 0)).cast("long")).alias(
+                    "n_old_only"
+                ),
+                F.sum(((F.col("__ho") == 0) & (F.col("__hn") > 0)).cast("long")).alias(
+                    "n_new_only"
+                ),
+                *[
+                    F.sum((u_both & u_flags[c]).cast("long")).alias(f"exc_{i}")
+                    for i, c in enumerate(active_cols)
+                ],
+            )
+            agg_row = agg_src.collect()[0]
+        else:
+            agg_row = flagged.agg(
+                F.sum(in_both.cast("long")).alias("n_both"),
+                F.sum(old_only.cast("long")).alias("n_old_only"),
+                F.sum(new_only.cast("long")).alias("n_new_only"),
+                *[
+                    F.sum((in_both & F.col(flag_names[c])).cast("long")).alias(
+                        f"exc_{i}"
+                    )
+                    for i, c in enumerate(active_cols)
+                ],
+            ).collect()[0]
         n_both = agg_row["n_both"] or 0
         n_old_only = agg_row["n_old_only"] or 0
         n_new_only = agg_row["n_new_only"] or 0

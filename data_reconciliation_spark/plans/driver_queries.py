@@ -176,11 +176,15 @@ FROM both_rows WHERE o_orderpriority IS DISTINCT FROM n_orderpriority
 
 def q_a1_match_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _snapshots(spark, sf_dir)
-    # metrics_only: only the scalar metrics are consumed, so the join,
-    # flags, and aggregation fuse into one uncached codegen pass — no
-    # flagged-join persist to write or release (round-5 verdict #5: the
-    # cache write was ~55% of this query's first-invocation headline)
-    res = reconcile(old, new, ["o_orderkey"], RECON_CFG, metrics_only=True)
+    # metrics_only: only the scalar metrics are consumed — no flagged-
+    # join persist to write or release (round-5 verdict #5: the cache
+    # write was ~55% of this query's first-invocation headline).
+    # unique_pk: o_orderkey is the orders PK, so the metrics use the
+    # union-aggregate plan (one exchange, no sorts) instead of the
+    # full-outer sort-merge join — oracle-verified identical.
+    res = reconcile(
+        old, new, ["o_orderkey"], RECON_CFG, metrics_only=True, unique_pk=True
+    )
     return spark.createDataFrame(
         [
             (

@@ -246,3 +246,40 @@ def test_metrics_only_matches_default_path(snapshots):
     assert _exc_set(fast) == _exc_set(full)
     full.release()
     fast.release()  # no-op by contract
+
+
+def test_metrics_only_unique_pk_matches_join_path(snapshots):
+    """unique_pk union-aggregate metrics plan (round-7): identical
+    scalars to the join-based metrics_only path, including the null-
+    gate, fuzzy, and tolerance rules (the fixture exercises all three
+    plus missing records on both sides)."""
+    df_old, df_new = snapshots
+    cfg = {
+        "ignore_nulls": False,
+        "include_missing_records": True,
+        "fields": FIELD_CFG,
+    }
+    # drop one id per side so n_old_only / n_new_only are non-zero
+    join_based = reconcile(
+        df_old.where("id != 6"), df_new.where("id != 5"), ["id"], cfg,
+        metrics_only=True,
+    )
+    union_agg = reconcile(
+        df_old.where("id != 6"), df_new.where("id != 5"), ["id"], cfg,
+        metrics_only=True, unique_pk=True,
+    )
+    assert (
+        union_agg.match_pct,
+        union_agg.n_both,
+        union_agg.n_old_only,
+        union_agg.n_new_only,
+        union_agg.field_exception_count,
+        union_agg.per_field_exceptions,
+    ) == (
+        join_based.match_pct,
+        join_based.n_both,
+        join_based.n_old_only,
+        join_based.n_new_only,
+        join_based.field_exception_count,
+        join_based.per_field_exceptions,
+    )
