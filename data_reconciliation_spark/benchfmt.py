@@ -11,6 +11,9 @@ makes drift mechanically impossible.
 
 from __future__ import annotations
 
+import os
+import re
+
 HEADLINE_BEGIN = "<!--HEADLINE-->"
 HEADLINE_END = "<!--/HEADLINE-->"
 
@@ -62,8 +65,6 @@ def rewrite_baseline_headline(baseline_md_path: str, payload: dict) -> None:
     writer, so the driver's end-of-round bench broke the suite by
     construction).
     """
-    import os
-    import re
 
     block = format_headline_block(payload)
     s = open(baseline_md_path).read()
@@ -94,3 +95,57 @@ def rewrite_baseline_headline(baseline_md_path: str, payload: dict) -> None:
         )
         if k2 == 1 and sm2 != sm:
             open(scale_md_path, "w").write(sm2)
+
+
+LINK_OVERHEAD_BEGIN = "<!--LINK-OVERHEAD-->"
+LINK_OVERHEAD_END = "<!--/LINK-OVERHEAD-->"
+
+
+def format_link_overhead_block(payload: dict) -> str:
+    """Render the link() fixed-overhead itemization for docs/SCALE.md
+    from a ``BENCH/link_overhead.json`` payload (written by
+    ``tools/profile_link_overhead.py`` — never hand-edited; validated
+    by ``tools/check_headline_sync.py``)."""
+    lines = [
+        "",
+        f"Measured by `tools/profile_link_overhead.py` at {payload['pages']} "
+        f"pages on local[{payload['cores']}] (machine-written — do not "
+        "hand-edit): one steady-state `link()` pass = "
+        f"**{payload['wall_s']}s wall**, {payload['n_jobs']} Spark jobs, "
+        f"sum(job durations) {payload['sum_job_s']}s, "
+        f"sum(driver gaps between jobs) {payload['sum_gap_s']}s.",
+        "",
+        "| job | start+s | dur_s | tasks | what |",
+        "|---|---|---|---|---|",
+    ]
+    for j in payload["top_jobs"]:
+        lines.append(
+            f"| {j['id']} | {j['start_s']} | {j['dur_s']} | {j['tasks']} "
+            f"| {j['name']} |"
+        )
+    lines.append("")
+    lines.append(
+        "Reading: the per-pass fixed cost is many short jobs plus driver "
+        "gaps (planning/Arrow collects), not one serial kernel; at "
+        "warehouse volumes the same fixed cost amortizes into noise while "
+        "the long jobs scale with cores."
+    )
+    lines.append("")
+    return "\n".join(lines)
+
+
+def rewrite_link_overhead(scale_md_path: str, payload: dict) -> None:
+    """Replace the LINK-OVERHEAD marker block in docs/SCALE.md."""
+    block = format_link_overhead_block(payload)
+    s = open(scale_md_path).read()
+    s2, k = re.subn(
+        re.escape(LINK_OVERHEAD_BEGIN) + r".*?" + re.escape(LINK_OVERHEAD_END),
+        lambda _m: f"{LINK_OVERHEAD_BEGIN}{block}{LINK_OVERHEAD_END}",
+        s,
+        flags=re.S,
+    )
+    if k != 1:
+        raise RuntimeError(
+            f"docs/SCALE.md LINK-OVERHEAD markers not found exactly once ({k})"
+        )
+    open(scale_md_path, "w").write(s2)

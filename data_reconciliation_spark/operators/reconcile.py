@@ -193,8 +193,10 @@ def reconcile(
     flagged join is NOT persisted — join, per-field flags, and the
     metrics aggregation fuse into one whole-stage-codegen pass with
     map-side partial aggregation, never materializing the wide row
-    stream (measured 12.4s -> 2.6s cold / 2.4s -> 1.0s warm on the
-    sf0.1 orders snapshots; the persist's cache write dominated both).
+    stream (a1_match_metrics rode this path from round 6 on: headline
+    4.17s/kernel 1.76s in BENCH_r04.json with the persist-based path
+    vs 2.73s/1.41s in BENCH/headline.json — the persist's cache write
+    dominated the old path's first invocation).
     ``exceptions`` remains usable but RECOMPUTES the join if consumed —
     callers that want both the metrics and the exception stream should
     keep the default, whose single cached join feeds both.

@@ -57,6 +57,35 @@ def check(repo_root: str | None = None) -> str:
                 f"but BENCH/headline.json says {actual!r} — update the "
                 "marker from the artifact, never by hand"
             )
+    # LINK-OVERHEAD block (round-6 verdict #5): machine-written by
+    # tools/profile_link_overhead.py from BENCH/link_overhead.json —
+    # validate rendered block == marker contents, same discipline as
+    # the headline blocks.  Skipped until the artifact exists.
+    lo_path = os.path.join(root, "BENCH", "link_overhead.json")
+    if os.path.exists(lo_path):
+        from data_reconciliation_spark.benchfmt import (
+            LINK_OVERHEAD_BEGIN,
+            LINK_OVERHEAD_END,
+            format_link_overhead_block,
+        )
+
+        with open(lo_path) as f:
+            lo = json.load(f)
+        try:
+            got_lo = scale_md.split(LINK_OVERHEAD_BEGIN, 1)[1].split(
+                LINK_OVERHEAD_END, 1
+            )[0]
+        except IndexError:
+            raise AssertionError("docs/SCALE.md LINK-OVERHEAD markers missing")
+        want_lo = format_link_overhead_block(lo)
+        if got_lo != want_lo:
+            raise AssertionError(
+                "docs/SCALE.md LINK-OVERHEAD block drifted from "
+                "BENCH/link_overhead.json — re-run "
+                "`python tools/profile_link_overhead.py --write-scale-md` "
+                "instead of hand-editing"
+            )
+
     return (
         "OK: BASELINE.md headline block and docs/SCALE.md closure quote "
         "match BENCH/headline.json"

@@ -50,6 +50,9 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=100_000)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--warmups", type=int, default=2)
+    ap.add_argument("--write-scale-md", action="store_true",
+                    help="persist BENCH/link_overhead.json and render the "
+                         "LINK-OVERHEAD block in docs/SCALE.md")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
@@ -135,6 +138,44 @@ def main() -> None:
         f"\nwall={elapsed:.2f}s  sum(job_dur)={total_job:.2f}s  "
         f"sum(gaps)={total_gap:.2f}s  tail_gap={tail_gap:.2f}s"
     )
+
+    if "--write-scale-md" in sys.argv:
+        # persist the itemization and render it into docs/SCALE.md
+        # between the LINK-OVERHEAD markers (same machine-written
+        # discipline as the closure profile; round-6 verdict #5) —
+        # tools/check_headline_sync.py validates block == artifact.
+        import json
+
+        from data_reconciliation_spark.benchfmt import rewrite_link_overhead
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        top = sorted(jobs, key=lambda j: (
+            -(((j["complete"] or t_end * 1000) - j["submit"]) / 1000)))[:5]
+        payload = {
+            "pages": args.pages,
+            "cores": args.cores,
+            "wall_s": round(elapsed, 2),
+            "n_jobs": len(jobs),
+            "sum_job_s": round(total_job, 2),
+            "sum_gap_s": round(total_gap, 2),
+            "top_jobs": [
+                {
+                    "id": j["id"],
+                    "start_s": round((j["submit"] - wall0) / 1000, 2),
+                    "dur_s": round(
+                        ((j["complete"] or t_end * 1000) - j["submit"]) / 1000, 2
+                    ),
+                    "tasks": j["tasks"],
+                    "name": j["name"].split(" at ")[0][:60],
+                }
+                for j in sorted(top, key=lambda j: j["id"])
+            ],
+        }
+        with open(os.path.join(repo, "BENCH", "link_overhead.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+        rewrite_link_overhead(os.path.join(repo, "docs", "SCALE.md"), payload)
+        print("wrote BENCH/link_overhead.json + docs/SCALE.md LINK-OVERHEAD block")
     spark.stop()
 
 
