@@ -165,6 +165,13 @@ class ReconcileResult:
         return {"match_pct": self.match_pct, "exceptions": pk_and_rest}
 
 
+# Diagnostic hook: when set, called with the metrics aggregation
+# DataFrame immediately before it is collected (tools/dump_plans.py uses
+# it to snapshot the executed plan).  None in production — a single
+# ``is not None`` check per reconcile() call, no data-path cost.
+_metrics_plan_probe = None
+
+
 def reconcile(
     df_old: DataFrame,
     df_new: DataFrame,
@@ -195,8 +202,10 @@ def reconcile(
     map-side partial aggregation, never materializing the wide row
     stream (a1_match_metrics rode this path from round 6 on: headline
     4.17s/kernel 1.76s in BENCH_r04.json with the persist-based path
-    vs 2.73s/1.41s in BENCH/headline.json — the persist's cache write
-    dominated the old path's first invocation).
+    vs 3.31s/1.92s = 1.72x in the round-7 snapshot — see
+    OPTIMIZATION_r07.md; BENCH/headline.json is machine-refreshed each
+    bench run, so current numbers live there, not here — the persist's
+    cache write dominated the old path's first invocation).
     ``exceptions`` remains usable but RECOMPUTES the join if consumed —
     callers that want both the metrics and the exception stream should
     keep the default, whose single cached join feeds both.
@@ -205,12 +214,14 @@ def reconcile(
     in BOTH snapshots (the normal reconciliation contract; the reference
     pandas merge would row-multiply on duplicates exactly like the
     join).  With ``metrics_only`` it enables the union-aggregate metrics
-    plan: both sides are tagged and unioned, merged per key by one hash
-    aggregation, and reduced to the scalars — ONE exchange and no sorts,
-    versus the full-outer sort-merge join's two exchanges + two sorts
-    (measured at sf0.1 local[32]: 0.97-1.27 s -> 0.62-0.70 s warm,
-    3.7 -> 1.2 s first invocation — the simpler plan also compiles
-    less codegen).  Under duplicate keys the two plans genuinely differ
+    plan: both sides are tagged and unioned, merged per key by one
+    aggregation (a SortAggregate — struct/string Max buffers are not
+    hash-mutable), and reduced to the scalars — ONE wide exchange, no
+    join step, and only active columns shuffled, versus the full-outer
+    sort-merge join's two exchanges + join (measured at sf0.1
+    local[32]: 0.97-1.27 s -> 0.62-0.70 s warm, 3.7 -> 1.2 s first
+    invocation — A/B recorded in OPTIMIZATION_r07.md
+    "a1_match_metrics"; the simpler plan also compiles less codegen).  Under duplicate keys the two plans genuinely differ
     (merge multiplies rows, the aggregation collapses them), hence the
     explicit opt-in rather than an auto-detect.
     """
@@ -275,25 +286,36 @@ def reconcile(
 
         # Single aggregation pass computes every count the match formula
         # needs (A1/A2) — one job, map-side partial agg, no collect loops.
-        if metrics_only and unique_pk and compare_cols:
+        if metrics_only and unique_pk and active_cols:
             # union-aggregate metrics plan (see docstring): tag + union
-            # both sides, merge per key with one hash aggregation, then
-            # reduce to scalars — one exchange, no sorts.
+            # both sides, merge per key with ONE aggregation, then
+            # reduce to scalars — one wide exchange and no join, versus
+            # the full-outer path's two exchanges + sort-merge join.
+            # Only ACTIVE columns are carried: ignored compare columns
+            # never enter the shuffle.  The per-key merge plans as
+            # SortAggregate, not HashAggregate — Max's aggregation
+            # buffer must be UnsafeRow-mutable for hash aggregation and
+            # neither a struct nor a string buffer is — so the plan
+            # still sorts by pk (r7 tested the flattened per-column
+            # max(): same SortAggregate for the string columns and a
+            # ~14% wider exchange than the packed struct, 29.8 ->
+            # 34.0 MiB at sf0.1, so the struct form is kept; see
+            # OPTIMIZATION_r07.md "a1_match_metrics").
             o_t = T.StructType(
-                [T.StructField(c, old_types[c]) for c in compare_cols]
+                [T.StructField(c, old_types[c]) for c in active_cols]
             )
             n_t = T.StructType(
-                [T.StructField(c, new_types[c]) for c in compare_cols]
+                [T.StructField(c, new_types[c]) for c in active_cols]
             )
             tagged = df_old.select(
                 *pk_cols,
-                F.struct(*compare_cols).alias("__o"),
+                F.struct(*active_cols).alias("__o"),
                 F.lit(None).cast(n_t).alias("__n"),
             ).unionByName(
                 df_new.select(
                     *pk_cols,
                     F.lit(None).cast(o_t).alias("__o"),
-                    F.struct(*compare_cols).alias("__n"),
+                    F.struct(*active_cols).alias("__n"),
                 )
             )
             # max() skips nulls, so it picks each side's single struct
@@ -330,9 +352,11 @@ def reconcile(
                     for i, c in enumerate(active_cols)
                 ],
             )
+            if _metrics_plan_probe is not None:
+                _metrics_plan_probe(agg_src)
             agg_row = agg_src.collect()[0]
         else:
-            agg_row = flagged.agg(
+            agg_src = flagged.agg(
                 F.sum(in_both.cast("long")).alias("n_both"),
                 F.sum(old_only.cast("long")).alias("n_old_only"),
                 F.sum(new_only.cast("long")).alias("n_new_only"),
@@ -342,7 +366,10 @@ def reconcile(
                     )
                     for i, c in enumerate(active_cols)
                 ],
-            ).collect()[0]
+            )
+            if _metrics_plan_probe is not None:
+                _metrics_plan_probe(agg_src)
+            agg_row = agg_src.collect()[0]
         n_both = agg_row["n_both"] or 0
         n_old_only = agg_row["n_old_only"] or 0
         n_new_only = agg_row["n_new_only"] or 0
